@@ -1,0 +1,194 @@
+"""NUQ: non-uniform 4-bit quantization codec.
+
+Stream format (compression/nuq-inl.h:616-657 `NuqCodec::Enc`,
+types.h:128-188): values are grouped in chunks of GROUP_SIZE=256 along the
+flat (row-major, unpadded) element order.  Each group occupies 144 bytes:
+
+    [16 bytes]  CLUSTERS=16 cluster centers, ascending, SFP8-encoded
+    [128 bytes] 256 4-bit indices, two per byte, LOW nibble first
+
+(~4.5 bits/value).  NOTE: types.h:119-122's comment describing "all tables
+first" is stale -- the shipped encoder interleaves the table with each
+group's indices via TableByteOffset (nuq-inl.h:534-539), which is what we
+implement.
+
+The encoder is optimal 1-D k-means (squared L2) per group via dynamic
+programming on the sorted values with O(1) interval costs from cumulative
+sums (nuq-inl.h:52-380, after https://arxiv.org/abs/1701.07204):
+
+  cost(first, last) = sum2 - mu * (2*sum - mu*len),  mu = sum/len
+
+Cluster centers are the interval means, then SFP8-rounded for storage.
+Groups shorter than 256 are padded with the group max so no cluster is
+wasted on a sentinel (nuq-inl.h:263-273).  If fewer than 16 clusters are
+used, the unused low cluster slots hold 0.0 and indices start above them.
+
+The reference ships no golden NUQ byte patterns (nuq_test.cc is
+property-based), so our tests check layout invariants, round-trip SNR on the
+same distributions, and optimality of the clustering on small cases.
+
+`group_tables`/`group_indices` return the TPU device layout: per-row-aligned
+bf16 tables + u8 codes for table-lookup dequantization inside Pallas matmul
+kernels (see ops/matmul.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gemma_tpu.compression import sfp
+
+CLUSTERS = 16
+GROUP_SIZE = 256
+GROUP_BYTES = CLUSTERS + GROUP_SIZE // 2  # 144
+
+
+def packed_end(num_values: int) -> int:
+    """Total stream bytes for `num_values` (types.h:180-184)."""
+    num_groups = -(-num_values // GROUP_SIZE)
+    return CLUSTERS * num_groups + -(-num_values // 2)
+
+
+def _cluster_group(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Optimal 1-D k-means of one group; returns (centers[16], indices[len(x)]).
+
+    Mirrors NuqClustering::ClusterExactL2 (nuq-inl.h:246-380): DP over sorted
+    values with prefix-sum interval costs, centers = interval means (ascending),
+    unused clusters zeroed at the low end.
+    """
+    num = x.shape[0]
+    assert 0 < num <= GROUP_SIZE
+    if num < GROUP_SIZE:
+        # Pad with the max so the padding joins an existing cluster.
+        x = np.concatenate([x, np.full(GROUP_SIZE - num, x.max(), x.dtype)])
+    order = np.argsort(x, kind="stable")
+    sorted_x = x[order].astype(np.float64)
+
+    n = GROUP_SIZE
+    csum = np.zeros(n + 1)
+    csum2 = np.zeros(n + 1)
+    np.cumsum(sorted_x, out=csum[1:])
+    np.cumsum(sorted_x * sorted_x, out=csum2[1:])
+
+    # cost[f, l] = squared-L2 cost of one cluster covering sorted[f..l].
+    first_idx = np.arange(n)[:, None]
+    last_idx = np.arange(n)[None, :]
+    length = (last_idx - first_idx + 1).astype(np.float64)
+    valid = length > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        seg_sum = csum[last_idx + 1] - csum[first_idx]
+        seg_sum2 = csum2[last_idx + 1] - csum2[first_idx]
+        mu = seg_sum / length
+        cost = seg_sum2 - mu * (2.0 * seg_sum - mu * length)
+    cost = np.where(valid, np.maximum(cost, 0.0), np.inf)
+
+    # costs[k, l] = min cost of clustering sorted[0..l] into k+1 clusters.
+    costs = np.empty((CLUSTERS, n))
+    argmin = np.zeros((CLUSTERS, n), dtype=np.int64)
+    costs[0] = cost[0]
+    for k in range(1, CLUSTERS):
+        # candidate[f, l] = costs[k-1, f-1] + cost[f, l] for f in [1, l].
+        cand = costs[k - 1, :-1][:, None] + cost[1:, :]
+        best = np.argmin(cand, axis=0)
+        best_cost = cand[best, np.arange(n)]
+        keep_prev = costs[k - 1] <= best_cost
+        costs[k] = np.where(keep_prev, costs[k - 1], best_cost)
+        argmin[k] = np.where(keep_prev, argmin[k - 1], best + 1)
+
+    # Backtrack cluster boundaries (nuq-inl.h:327-357).
+    centers = np.zeros(CLUSTERS, dtype=np.float32)
+    indices_sorted = np.zeros(n, dtype=np.uint8)
+    last = n - 1
+    for k in range(CLUSTERS - 1, -1, -1):
+        start = int(argmin[k, last])
+        seg = sorted_x[start : last + 1]
+        centers[k] = np.float32(seg.sum() / seg.shape[0])
+        indices_sorted[start : last + 1] = k
+        if start == 0:
+            break
+        last = start - 1
+
+    indices = np.zeros(n, dtype=np.uint8)
+    indices[order] = indices_sorted
+    return centers, indices[:num]
+
+
+def encode(values: np.ndarray) -> np.ndarray:
+    """Encode flat f32 values into a NUQ byte stream (uint8[packed_end])."""
+    flat = np.ascontiguousarray(values, dtype=np.float32).reshape(-1)
+    num = flat.shape[0]
+    num_groups = -(-num // GROUP_SIZE)
+    out = np.zeros(packed_end(num), dtype=np.uint8)
+    for g in range(num_groups):
+        g_vals = flat[g * GROUP_SIZE : min((g + 1) * GROUP_SIZE, num)]
+        centers, idx = _cluster_group(g_vals)
+        base = g * GROUP_BYTES
+        out[base : base + CLUSTERS] = sfp.encode(centers)
+        # Two 4-bit indices per byte, low nibble first (NibbleCodec order).
+        padded = np.zeros(GROUP_SIZE, dtype=np.uint8)
+        padded[: idx.shape[0]] = idx
+        nib = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+        n_bytes = -(-g_vals.shape[0] // 2)
+        out[base + CLUSTERS : base + CLUSTERS + n_bytes] = nib[:n_bytes]
+    return out
+
+
+def decode(stream: np.ndarray, num_values: int) -> np.ndarray:
+    """Decode a NUQ byte stream back to f32 values."""
+    stream = np.asarray(stream, dtype=np.uint8)
+    num_groups = -(-num_values // GROUP_SIZE)
+    out = np.empty(num_values, dtype=np.float32)
+    for g in range(num_groups):
+        base = g * GROUP_BYTES
+        table = sfp.decode(stream[base : base + CLUSTERS])
+        g_num = min(num_values - g * GROUP_SIZE, GROUP_SIZE)
+        nib = np.zeros(GROUP_SIZE // 2, dtype=np.uint8)
+        n_bytes = -(-g_num // 2)
+        nib[:n_bytes] = stream[base + CLUSTERS : base + CLUSTERS + n_bytes]
+        idx = np.empty(GROUP_SIZE, dtype=np.uint8)
+        idx[0::2] = nib & 0xF
+        idx[1::2] = nib >> 4
+        out[g * GROUP_SIZE : g * GROUP_SIZE + g_num] = table[idx[:g_num]]
+    return out
+
+
+def to_device_layout(
+    stream: np.ndarray, rows: int, cols: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convert a flat NUQ stream into the TPU matmul layout.
+
+    Returns (tables, codes):
+      tables: f32 [rows, ceil(cols/256), 16]  per-(row, k-block) LUT
+      codes:  u8  [rows, cols]                 4-bit index per value
+
+    If cols % 256 == 0 the on-disk groups align with (row, k-block) and this
+    is a pure repack.  Otherwise (e.g. Gemma3 model_dim 1152) groups span row
+    boundaries on disk, so we decode and re-encode per aligned block; the
+    re-clustering is the same optimal k-means, so quality is preserved (the
+    cross-entropy oracle covers this end to end).
+    """
+    num = rows * cols
+    if cols % GROUP_SIZE == 0:
+        stream = np.asarray(stream, dtype=np.uint8)
+        g_per_row = cols // GROUP_SIZE
+        grp = stream[: rows * g_per_row * GROUP_BYTES].reshape(
+            rows, g_per_row, GROUP_BYTES
+        )
+        tables = sfp.decode(grp[:, :, :CLUSTERS])
+        nib = grp[:, :, CLUSTERS:]
+        codes = np.empty((rows, g_per_row, GROUP_SIZE), dtype=np.uint8)
+        codes[:, :, 0::2] = nib & 0xF
+        codes[:, :, 1::2] = nib >> 4
+        return tables.astype(np.float32), codes.reshape(rows, cols)
+
+    values = decode(stream, num).reshape(rows, cols)
+    g_per_row = -(-cols // GROUP_SIZE)
+    tables = np.zeros((rows, g_per_row, CLUSTERS), dtype=np.float32)
+    codes = np.zeros((rows, cols), dtype=np.uint8)
+    for r in range(rows):
+        for g in range(g_per_row):
+            lo, hi = g * GROUP_SIZE, min((g + 1) * GROUP_SIZE, cols)
+            centers, idx = _cluster_group(values[r, lo:hi])
+            tables[r, g] = sfp.decode(sfp.encode(centers))
+            codes[r, lo:hi] = idx
+    return tables, codes

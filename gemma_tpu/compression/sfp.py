@@ -156,8 +156,13 @@ def scale_weights(values: np.ndarray) -> tuple[np.ndarray, float]:
     max_abs = float(np.max(np.abs(values))) if values.size else 0.0
     if max_abs <= SFP_MAX:
         return np.asarray(values, dtype=np.float32), 1.0
-    scale = max_abs / SFP_MAX
-    return np.asarray(values, dtype=np.float32) / np.float32(scale), scale
+    # Keep the scale f32-exact: it is serialized as f32 (util/mat.h:277).
+    scale = float(np.float32(max_abs / SFP_MAX))
+    scaled = np.asarray(values, dtype=np.float32) / np.float32(scale)
+    if np.abs(scaled).max() > SFP_MAX:  # guard against f32 rounding up
+        scale = float(np.nextafter(np.float32(scale), np.float32(np.inf)))
+        scaled = np.asarray(values, dtype=np.float32) / np.float32(scale)
+    return scaled, scale
 
 
 import jax  # noqa: E402  (placed last to keep numpy-only paths importable fast)

@@ -152,6 +152,35 @@ def decode(stream: np.ndarray, num_values: int) -> np.ndarray:
     return out
 
 
+def to_sfp_codes(stream: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Expand NUQ to one SFP byte per value: codes[n,k] = the SFP-encoded
+    center of that element's cluster.
+
+    EXACT: NUQ tables store centers as SFP bytes (nuq-inl.h:649-651), so
+    replacing each 4-bit index with its center's byte loses nothing.  This is
+    the default TPU layout -- the matmul kernel then reuses the 3-op SFP
+    bit-arithmetic dequant instead of a 16-way table lookup, trading 0.5
+    byte/value of HBM traffic for far less VPU work (see ops/matmul.py).
+    """
+    stream = np.asarray(stream, dtype=np.uint8)
+    num = rows * cols
+    num_groups = -(-num // GROUP_SIZE)
+    grp_tables = np.zeros((num_groups, CLUSTERS), dtype=np.uint8)
+    idx = np.zeros(num_groups * GROUP_SIZE, dtype=np.uint8)
+    for g in range(num_groups):
+        base = g * GROUP_BYTES
+        grp_tables[g] = stream[base : base + CLUSTERS]
+        g_num = min(num - g * GROUP_SIZE, GROUP_SIZE)
+        n_bytes = -(-g_num // 2)
+        nib = np.zeros(GROUP_SIZE // 2, dtype=np.uint8)
+        nib[:n_bytes] = stream[base + CLUSTERS : base + CLUSTERS + n_bytes]
+        idx[g * GROUP_SIZE : g * GROUP_SIZE + GROUP_SIZE : 2] = nib & 0xF
+        idx[g * GROUP_SIZE + 1 : (g + 1) * GROUP_SIZE : 2] = nib >> 4
+    group_of = np.arange(num) // GROUP_SIZE
+    codes = grp_tables[group_of, idx[:num]]
+    return codes.reshape(rows, cols)
+
+
 def to_device_layout(
     stream: np.ndarray, rows: int, cols: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,357 @@
+"""The Gemma transformer forward pass (maps gemma/gemma.cc TransformerLayer
++ attention.cc; see SURVEY.md section 3.2 call stack).
+
+Functional and jit-friendly: `forward(params, tokens, positions, cache, ...)`
+processes a [batch, tokens] step (prefill: many tokens, decode: one) and
+returns (logits-or-activations, updated cache).  All matmuls go through the
+dequant-fused Pallas kernels (ops/matmul.py); everything else is XLA-fused
+elementwise work.
+
+Numerics follow the reference exactly (load-bearing for cross-entropy
+parity):
+  embed: decompress(embedding[token]) * bf16(sqrt(model_dim)) * tensor_scale
+         (gemma.cc:119-183)
+  layer: x += att(RMSNorm(x)) with optional post-norm; x += ffn(RMSNorm(x))
+         (gemma.cc:83-116)
+  final: logits = RMSNorm(x) -> bf16 @ embedding^T, softcap
+         (gemma.cc:401-457)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemma_tpu.models.configs import (
+    LayerAttentionType,
+    ModelConfig,
+    PostNormType,
+    PostQKType,
+)
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.ops import ops
+from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
+from gemma_tpu.ops.matmul import QuantTensor, matmul
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(obj):
+        return [getattr(obj, n) for n in fields], None
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(fields, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register
+@dataclasses.dataclass
+class LayerParams:
+    """Maps LayerWeightsPtrs (gemma/weights.h:93-269), post-Fixup."""
+
+    qkv1: QuantTensor  # [heads * qkv_dim, model_dim]
+    qkv2: QuantTensor  # [2 * kv_heads * qkv_dim, model_dim]
+    att_w: QuantTensor  # [model_dim, heads * qkv_dim]
+    gating1: QuantTensor  # [ff_hidden, model_dim]
+    gating2: QuantTensor  # [ff_hidden, model_dim]
+    linear: QuantTensor  # [model_dim, ff_hidden]
+    pre_att_norm: jnp.ndarray  # [model_dim]
+    pre_ffw_norm: jnp.ndarray  # [model_dim]
+    post_att_norm: jnp.ndarray | None
+    post_ffw_norm: jnp.ndarray | None
+    key_norm: jnp.ndarray | None  # [qkv_dim]
+    query_norm: jnp.ndarray | None  # [qkv_dim]
+
+
+@_register
+@dataclasses.dataclass
+class Params:
+    """Maps WeightsPtrs (gemma/weights.h:273-421); ViT lives in models/vit.py."""
+
+    embedding: QuantTensor  # [vocab, model_dim]
+    final_norm: jnp.ndarray  # [model_dim]
+    layers: list[LayerParams]
+    vit: Any = None
+
+
+def embed_tokens(
+    embedding: QuantTensor, tokens: jnp.ndarray, model_dim: int
+) -> jnp.ndarray:
+    """EmbedMMToken analog (gemma.cc:135-183): rows * bf16(sqrt(dim)) * scale."""
+    emb_scale = ops.embedding_scaling(model_dim) * float(embedding.scale)
+    if embedding.kind in ("bf16", "f32"):
+        rows = embedding.arrays["w"][tokens].astype(jnp.float32)
+    elif embedding.kind in ("sfp", "nuq"):
+        from gemma_tpu.compression.sfp import decode_jax
+
+        rows = decode_jax(embedding.arrays["codes"][tokens], jnp.float32)
+    elif embedding.kind == "i8":
+        codes = embedding.arrays["codes"][tokens].astype(jnp.float32)
+        inv = embedding.arrays["inv_scales"][tokens]
+        nzp = embedding.arrays["neg_zp_scaled"][tokens]
+        g = inv.shape[-1]
+        shaped = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
+        rows = (shaped * inv[..., None] + nzp[..., None]).reshape(codes.shape)
+    elif embedding.kind == "nuq4":
+        codes = embedding.arrays["codes"][tokens].astype(jnp.int32)
+        tables = embedding.arrays["tables"][tokens]  # [..., G, 16]
+        g = tables.shape[-2]
+        c = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
+        rows = jnp.take_along_axis(tables, c, axis=-1).reshape(codes.shape)
+    else:
+        raise ValueError(embedding.kind)
+    return rows * jnp.float32(emb_scale)
+
+
+def transformer_layer(
+    layer: LayerParams,
+    layer_idx: int,
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    config: ModelConfig,
+    prefix_end: jnp.ndarray | int = 0,
+    inv_timescale: jnp.ndarray | None = None,
+    inv_timescale_global: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One TransformerLayer (gemma.cc:83-116). x: [B, T, model_dim] f32."""
+    lc = config.layer_configs[layer_idx]
+    b, t, model_dim = x.shape
+    heads, kv_heads, qkv_dim = lc.heads, lc.kv_heads, lc.qkv_dim
+
+    # --- attention (attention.cc GemmaAttention) ---
+    x_norm = ops.rms_norm(x, layer.pre_att_norm).reshape(b * t, model_dim)
+    x_norm_bf = x_norm.astype(jnp.bfloat16)
+
+    q = matmul(x_norm_bf, layer.qkv1, out_dtype=jnp.float32)
+    kv = matmul(x_norm_bf, layer.qkv2, out_dtype=jnp.float32)
+    q = q.reshape(b, t, heads, qkv_dim)
+    kv = kv.reshape(b, t, kv_heads, 2, qkv_dim)
+    k, v = kv[..., 0, :], kv[..., 1, :]
+
+    is_global = config.is_global_layer(layer_idx)
+    ts = inv_timescale_global if (is_global and inv_timescale_global is not None) \
+        else inv_timescale
+
+    # K: optional RMSNorm then RoPE at mul=1 (attention.cc:288-320).
+    if lc.use_qk_norm and layer.key_norm is not None:
+        k = ops.rms_norm(k, layer.key_norm)
+    k = _position_encode(k, positions, ts, 1.0, lc.post_qk)
+
+    # Q: optional RMSNorm then RoPE folded with the query scale
+    # (attention.cc:142-151).
+    query_scale = config.query_scale_value()
+    if lc.use_qk_norm and layer.query_norm is not None:
+        q = ops.rms_norm(q, layer.query_norm)
+    q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
+
+    cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
+                         v.astype(cache.kv.dtype))
+
+    window = config.attention_window_sizes[layer_idx]
+    mask = attention_mask(positions, cache.seq_len, window, prefix_end)
+    k_cache = cache.kv[:, layer_idx, :, 0]
+    v_cache = cache.kv[:, layer_idx, :, 1]
+    att_out = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
+                                       att_cap=config.att_cap)
+
+    att_out = att_out.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
+    att_sums = matmul(att_out, layer.att_w, out_dtype=jnp.float32)
+    att_sums = att_sums.reshape(b, t, model_dim)
+
+    if lc.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
+        att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
+    x = x + att_sums
+
+    # --- FFN (gemma-inl.h FFWNoVit) ---
+    y_norm = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
+    y_bf = y_norm.astype(jnp.bfloat16)
+    c1 = matmul(y_bf, layer.gating1, out_dtype=jnp.float32)
+    c2 = matmul(y_bf, layer.gating2, out_dtype=jnp.float32)
+    activated = (ops.gelu(c1) * c2).astype(jnp.bfloat16)
+    ffw_out = matmul(activated, layer.linear, out_dtype=jnp.float32)
+    ffw_out = ffw_out.reshape(b, t, model_dim)
+
+    if lc.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
+        ffw_out = ops.rms_norm(ffw_out, layer.post_ffw_norm)
+    return x + ffw_out, cache
+
+
+def _position_encode(x, positions, inv_timescale, mul, post_qk):
+    """RoPE applied per (b, t) position to [B, T, H, D]."""
+    pos = positions[..., None]  # broadcast over heads
+    if post_qk == PostQKType.HALF_ROPE:
+        return ops.half_rope(x, pos, inv_timescale, mul)
+    return ops.rope(x, pos, inv_timescale, mul)
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    config: ModelConfig,
+    prefix_end: jnp.ndarray | int = 0,
+    return_logits: str = "all",
+    image_embeddings: jnp.ndarray | None = None,
+    image_slot_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray | None, KVCache]:
+    """Run the full stack over a [B, T] token step.
+
+    return_logits: "all" -> [B, T, vocab]; "last" -> [B, vocab] for the final
+    token; "none" -> (None, cache) (prefill).
+    image_embeddings/image_slot_mask splice precomputed image token rows into
+    the embedding stream (gemma.cc:144-157, PaliGemma/VLM prefill).
+    """
+    b, t = tokens.shape
+    model_dim = config.model_dim
+    lc = config.layer_configs[0]
+
+    x = embed_tokens(params.embedding, tokens, model_dim)
+    if image_embeddings is not None and image_slot_mask is not None:
+        x = jnp.where(image_slot_mask[..., None], image_embeddings, x)
+    if config.absolute_pe:
+        x = x + _absolute_pe(positions, model_dim)
+
+    half_rope = lc.post_qk == PostQKType.HALF_ROPE
+    inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
+    inv_ts_g = None
+    from gemma_tpu.models.configs import PromptWrapping
+
+    if config.wrapping == PromptWrapping.GEMMA_VLM:
+        inv_ts_g = jnp.asarray(
+            ops.create_inv_timescale(lc.qkv_dim, half_rope, base_frequency=1e6)
+        )
+
+    for layer_idx, layer in enumerate(params.layers):
+        x, cache = transformer_layer(
+            layer, layer_idx, x, positions, cache, config, prefix_end,
+            inv_ts, inv_ts_g,
+        )
+
+    if return_logits == "none":
+        return None, cache
+    if return_logits == "last":
+        x = x[:, -1:, :]
+    x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
+    bt = x_bf.shape[0] * x_bf.shape[1]
+    logits = matmul(x_bf.reshape(bt, model_dim), params.embedding,
+                    out_dtype=jnp.float32)
+    logits = ops.soft_cap(config.final_cap, logits)
+    logits = logits.reshape(x_bf.shape[0], x_bf.shape[1], -1)
+    if return_logits == "last":
+        return logits[:, 0], cache
+    return logits, cache
+
+
+def _absolute_pe(positions: jnp.ndarray, model_dim: int) -> jnp.ndarray:
+    """AddAbsolutePositionalEmbeddings (ops-inl.h:316-330)."""
+    half = model_dim // 2
+    log_inc = np.log(10000.0) / max(half - 1, 1)
+    inv = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -log_inc)
+    theta = positions[..., None].astype(jnp.float32) * inv
+    return jnp.concatenate([jnp.sin(theta), jnp.cos(theta)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Weights loading (maps gemma/weights.cc ReadFromBlobs + Fixup).
+# ---------------------------------------------------------------------------
+
+
+def _slice_rows(qt: QuantTensor, lo: int, hi: int) -> QuantTensor:
+    """Split stacked tensors by rows at the device-layout level (the
+    SplitW1/SplitAttW1 analog, weights.cc:90-170): every layout stores
+    per-element or per-(row, group) arrays, so row slicing is exact."""
+    arrays = {k: v[lo:hi] for k, v in qt.arrays.items()}
+    return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays)
+
+
+def _fixup_att_weights(qt: QuantTensor, heads: int, model_dim: int,
+                       qkv_dim: int) -> QuantTensor:
+    """att_ein [heads*model_dim, qkv] -> att_w [model_dim, heads*qkv]
+    (InitAttWeights, weights.cc:46-87).  Pure permutation of the
+    per-element arrays; i8 group scales permute along (128-sized) blocks."""
+    def permute(a):
+        return (
+            a.reshape(heads, model_dim, *a.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(model_dim, -1, *a.shape[2:])
+        )
+
+    arrays = {k: permute(v) for k, v in qt.arrays.items()}
+    return QuantTensor(qt.kind, (model_dim, heads * qkv_dim), qt.scale, arrays)
+
+
+def load_params(store, kind_override: str | None = None) -> Params:
+    """Build device Params from an io.model_store.ModelStore."""
+    config: ModelConfig = store.config
+    from gemma_tpu.ops.matmul import quant_tensor_from_packed
+
+    def qt(name: str, kind=None) -> QuantTensor | None:
+        pt = store.read_tensor(name)
+        if pt is None:
+            return None
+        return quant_tensor_from_packed(pt, kind or kind_override)
+
+    def norm(name: str) -> jnp.ndarray | None:
+        pt = store.read_tensor(name)
+        if pt is None:
+            return None
+        return jnp.asarray(pt.to_f32().reshape(-1))
+
+    embedding = qt("c_embedding")
+    final_norm = norm("c_final_norm")
+    layers = []
+    for i, lc in enumerate(config.layer_configs):
+        if lc.type != LayerAttentionType.GEMMA:
+            continue
+        s = f"_{i}"
+        heads, kv_heads, qkv_dim = lc.heads, lc.kv_heads, lc.qkv_dim
+
+        q1 = qt("qkv1_w" + s)
+        q2 = qt("qkv2_w" + s)
+        if q1 is None:
+            stacked = qt("qkv_ein" + s)
+            w1_rows = heads * qkv_dim
+            q1 = _slice_rows(stacked, 0, w1_rows)
+            q2 = _slice_rows(stacked, w1_rows, w1_rows + 2 * kv_heads * qkv_dim)
+
+        g1 = qt("gating1_w" + s)
+        g2 = qt("gating2_w" + s)
+        if g1 is None:
+            stacked = qt("gating_ein" + s)
+            g1 = _slice_rows(stacked, 0, lc.ff_hidden_dim)
+            g2 = _slice_rows(stacked, lc.ff_hidden_dim, 2 * lc.ff_hidden_dim)
+
+        att_w = qt("att_w" + s)
+        if att_w is None:
+            # nuq4's per-256 groups do not survive the permutation when
+            # qkv_dim < 256; the byte layout is always exact.
+            ein_kind = "nuq" if kind_override == "nuq4" else kind_override
+            att_ein = qt("att_ein" + s, kind=ein_kind)
+            att_w = _fixup_att_weights(att_ein, heads, config.model_dim, qkv_dim)
+
+        layers.append(
+            LayerParams(
+                qkv1=q1,
+                qkv2=q2,
+                att_w=att_w,
+                gating1=g1,
+                gating2=g2,
+                linear=qt("linear_w" + s),
+                pre_att_norm=norm("pre_att_ns" + s),
+                pre_ffw_norm=norm("pre_ff_ns" + s),
+                post_att_norm=norm("post_att_ns" + s),
+                post_ffw_norm=norm("post_ff_ns" + s),
+                key_norm=norm("key_norm" + s),
+                query_norm=norm("query_norm" + s),
+            )
+        )
+    return Params(embedding=embedding, final_norm=final_norm, layers=layers)

@@ -1,0 +1,188 @@
+"""Per-shape GEMM tile autotuner (maps MMCandidates/MMAutoTune,
+ops/matmul.cc:63-341 + matmul.h:503-596).
+
+The reference tunes 7 parameters per matrix shape by measuring candidates on
+real calls.  Here the tunable surface is the Pallas (block_m, block_n,
+block_k) tile; candidates are generated from VMEM capacity (the TPU analog
+of sizing B-tiles to L1/L2), measured once per (M-bucket, K, N, kind) on the
+first calls, and winners persisted to a JSON cache so later processes skip
+the sweep (the README's "second and especially third query faster", but
+persistent).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemma_tpu.utils.basics import round_up
+
+_CACHE_PATH = os.environ.get(
+    "GEMMA_TPU_AUTOTUNE_CACHE",
+    os.path.expanduser("~/.cache/gemma_tpu/autotune.json"),
+)
+
+# VMEM is ~16 MiB; Pallas double-buffers inputs and the in-kernel dequant
+# materializes i32 temporaries, so the model below must stay well under it.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _m_bucket(m: int) -> int:
+    """Bucket M like MMKeys (matmul.h:607-667): exact small M, power-of-2 above."""
+    if m <= 16:
+        return round_up(m, 8)
+    return 1 << (m - 1).bit_length()
+
+
+def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]:
+    """Analytic candidate tiles sized to VMEM (the MMCandidates analog)."""
+    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
+    # NUQ/I8 need bk to cover whole groups.
+    k_align = 256 if kind == "nuq4" else 128
+    out: list[tuple[int, int, int]] = []
+    bm_opts = [bm for bm in (8, 16, 32, 64, 128, 256) if bm <= round_up(m, 8)]
+    for bm in bm_opts[-3:] or bm_opts:
+        for bn in (128, 256, 512, 1024):
+            if bn > round_up(n, 128):
+                continue
+            bk_full = round_up(k, k_align)
+            for bk in (256, 512, 1024, 2048, min(bk_full, 4096)):
+                if bk % k_align or bk > bk_full:
+                    continue
+                chunk = 256 if kind == "nuq4" else bk
+                dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * 12
+                vmem = (
+                    2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in
+                    + bn * bk * 2  # dequantized B
+                    + dequant_tmp  # i32 temporaries in the decode
+                    + bm * bn * 4  # accumulator
+                )
+                if vmem <= _VMEM_BUDGET:
+                    out.append((bm, bn, bk))
+    if not out:
+        out = [(min(8, round_up(m, 8)), 128, k_align)]
+    return out
+
+
+def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
+    """Measured-good defaults: full-K blocks (2-D grid, no revisiting) with
+    bn ~ 1024 when VMEM allows, else a 512x512 K-blocked tile."""
+    k_align = 256 if kind == "nuq4" else 128
+    bk_full = round_up(min(k, 4096), k_align)
+    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
+    bm = min(256, round_up(m, 8))
+    for bn in (1024, 512, 256, 128):
+        chunk = 256 if kind == "nuq4" else bk_full
+        dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * 12
+        vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
+        vmem += dequant_tmp + bm * bn * 4
+        if vmem <= _VMEM_BUDGET:
+            return (bm, bn, bk_full)
+    return (bm, 256, 256 if kind == "nuq4" else 512)
+
+
+@functools.lru_cache(maxsize=None)
+def _load_cache() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cache(cache: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def _clip(blocks: tuple[int, int, int], m: int, k: int, n: int,
+          kind: str) -> tuple[int, int, int]:
+    bm, bn, bk = blocks
+    k_align = 256 if kind == "nuq4" else 128
+    bm = min(bm, round_up(m, 8))
+    bn = min(bn, round_up(n, 128))
+    bk = min(bk, round_up(k, k_align))
+    if kind == "nuq4":
+        bk = max(256, bk // 256 * 256)
+    return bm, bn, bk
+
+
+def best_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
+    """Cached best tile for this shape, or a sensible default (no sweep)."""
+    key = f"{jax.default_backend()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+    cached = _load_cache().get(key)
+    if cached:
+        return _clip(tuple(cached), m, k, n, kind)
+    return _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
+
+
+def autotune(m: int, k: int, n: int, kind: str, reps: int = 3,
+             verbose: bool = False) -> tuple[int, int, int]:
+    """Measure candidates for this shape and persist the winner."""
+    from gemma_tpu.ops.matmul import QuantTensor, matmul
+
+    key = f"{jax.default_backend()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+    cache = dict(_load_cache())
+    if key in cache:
+        return _clip(tuple(cache[key]), m, k, n, kind)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)).astype(jnp.bfloat16)
+    if kind in ("bf16", "f32"):
+        dt = jnp.bfloat16 if kind == "bf16" else jnp.float32
+        arrays = {"w": jnp.asarray(rng.normal(0, 1, (n, k)).astype(np.float32)).astype(dt)}
+    elif kind == "sfp":
+        arrays = {"codes": jnp.asarray(rng.integers(0, 128, (n, k), dtype=np.uint8))}
+    elif kind == "nuq":
+        arrays = {"codes": jnp.asarray(rng.integers(0, 128, (n, k), dtype=np.uint8))}
+    elif kind == "nuq4":
+        arrays = {
+            "codes": jnp.asarray(rng.integers(0, 16, (n, k), dtype=np.uint8)),
+            "tables": jnp.asarray(rng.normal(0, 1, (n, k // 256, 16)).astype(np.float32)),
+        }
+    else:
+        arrays = {
+            "codes": jnp.asarray(rng.integers(-128, 127, (n, k), dtype=np.int8)),
+            "inv_scales": jnp.asarray(rng.normal(0, 1, (n, k // 128)).astype(np.float32)),
+            "neg_zp_scaled": jnp.asarray(np.zeros((n, k // 128), np.float32)),
+        }
+    w = QuantTensor(kind, (n, k), 1.0, arrays)
+
+    # Distinct inputs per rep: the serving stack may dedupe identical
+    # dispatches, which would make every candidate look equally fast.
+    a_reps = [a + jnp.bfloat16(1e-3 * i) for i in range(reps)]
+
+    best, best_t = None, float("inf")
+    for blocks in dict.fromkeys(_candidates(m, k, n, kind)):
+        try:
+            out = matmul(a, w, blocks=blocks)
+            out.block_until_ready()
+            t0 = time.perf_counter()
+            for ar in a_reps:
+                out = matmul(ar, w, blocks=blocks)
+            out.block_until_ready()
+            dt_s = (time.perf_counter() - t0) / reps
+        except Exception:  # noqa: BLE001 - invalid tile for this backend
+            continue
+        if verbose:
+            gflops = 2 * m * n * k / dt_s / 1e9
+            print(f"  {blocks}: {dt_s * 1e3:.3f} ms, {gflops:.0f} GFLOP/s")
+        if dt_s < best_t:
+            best, best_t = blocks, dt_s
+
+    if best is None:
+        best = _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
+    cache[key] = list(best)
+    _save_cache(cache)
+    _load_cache.cache_clear()
+    return best

@@ -1,0 +1,464 @@
+"""Dequant-fused matmul kernels (maps ops/matmul* — the hottest component).
+
+The reference fuses its weight codecs directly into the GEMM: B tiles are
+decompressed into an L1-resident scratch right before the FMA loop
+(ops/matmul-inl.h:229-258).  The TPU equivalent implemented here: Pallas
+kernels that dequantize packed B tiles in VMEM feeding the MXU, so quantized
+weights move HBM->VMEM at their *packed* width (1 byte/value for SFP, ~0.5
+for NUQ) -- decode throughput is HBM-bandwidth-bound, so this is the whole
+ballgame.
+
+Conventions follow the reference (ops/matmul-inl.h:1060):
+
+    C[M, N] = scale * (A[M, K] . B[N, K]^T) (+ add)
+
+with B stored row-major *transposed* (N rows of K), exactly the layout
+tensors have in `.sbs` files.  A is bf16 or f32; C is f32 (or bf16 on
+request).
+
+Weight containers (device side):
+  - "bf16"/"f32":  w [N, K]
+  - "sfp":  codes u8 [N, K]                   (decode: sfp bit arithmetic)
+  - "nuq":  codes u8 [N, K] of per-element *center SFP bytes* -- exact,
+            because NUQ tables store centers as SFP (nuq-inl.h:649-651);
+            dequant is then identical to "sfp" (1 byte/value HBM traffic,
+            minimal VPU work)
+  - "nuq4": codes u8 [N, K] (4-bit idx) + tables f32 [N, K/256, 16];
+            true 4.5-bit traffic, dequant via a 4-level select tree chunked
+            to bound VMEM temporaries
+  - "i8":   codes i8 [N, K] + per-128-group inv_scale fma
+
+The per-shape tile autotuner (`MMCandidates`/`MMAutoTune` analog,
+ops/matmul.cc:63-341) is ops/autotune.py: it sweeps block sizes on first
+use per (M-bucket, K, N, kind) and persists winners.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemma_tpu.utils.basics import cdiv, round_up
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantTensor:
+    """A device-resident, possibly-quantized [N, K] weight matrix."""
+
+    kind: str  # 'f32' | 'bf16' | 'sfp' | 'nuq' | 'i8'
+    shape: tuple[int, int]  # logical (N, K)
+    scale: float
+    arrays: dict[str, jnp.ndarray]
+
+    def tree_flatten(self):
+        keys = sorted(self.arrays)
+        return [self.arrays[k] for k in keys], (self.kind, self.shape, self.scale, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, scale, keys = aux
+        return cls(kind, shape, scale, dict(zip(keys, children)))
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.shape[1]
+
+    def nbytes(self) -> int:
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in self.arrays.values())
+
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        """Full [N, K] dense decode (slow path / testing / XLA fallback)."""
+        if self.kind in ("f32", "bf16"):
+            w = self.arrays["w"].astype(jnp.float32)
+        elif self.kind in ("sfp", "nuq"):
+            from gemma_tpu.compression.sfp import decode_jax
+
+            w = decode_jax(self.arrays["codes"], jnp.float32)
+        elif self.kind == "nuq4":
+            codes = self.arrays["codes"]
+            tables = self.arrays["tables"]  # [N, G, 16]
+            n, k = codes.shape
+            g = tables.shape[1]
+            c = codes.reshape(n, g, k // g).astype(jnp.int32)
+            w = jnp.take_along_axis(tables, c, axis=2).reshape(n, k)
+        elif self.kind == "i8":
+            codes = self.arrays["codes"].astype(jnp.float32)
+            inv = self.arrays["inv_scales"]  # [N, K/128]
+            nzp = self.arrays["neg_zp_scaled"]
+            n, k = codes.shape
+            g = inv.shape[1]
+            c = codes.reshape(n, g, k // g)
+            w = (c * inv[:, :, None] + nzp[:, :, None]).reshape(n, k)
+        else:
+            raise ValueError(self.kind)
+        if self.scale != 1.0:
+            w = w * jnp.float32(self.scale)
+        return w.astype(dtype)
+
+
+def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
+    """Build a QuantTensor from a compression.PackedTensor (host)."""
+    from gemma_tpu.compression import Type
+    from gemma_tpu.compression import int8 as int8_codec
+    from gemma_tpu.compression import nuq as nuq_codec
+
+    kind = kind or {
+        Type.F32: "f32",
+        Type.BF16: "bf16",
+        Type.SFP: "sfp",
+        Type.NUQ: "nuq",
+        Type.I8: "i8",
+    }[pt.type]
+    n, k = pt.rows, pt.cols
+    if kind == "f32":
+        return QuantTensor("f32", (n, k), pt.scale,
+                           {"w": jnp.asarray(pt.to_f32() / np.float32(pt.scale))})
+    if kind == "bf16":
+        if pt.type == Type.BF16:
+            w = pt.data.view(np.uint16).reshape(n, k).view(jnp.bfloat16.dtype)
+            return QuantTensor("bf16", (n, k), pt.scale, {"w": jnp.asarray(w)})
+        # decode-to-bf16 mode for any packed type (reference kReadBF16).
+        w = (pt.to_f32() / np.float32(pt.scale)).astype(jnp.bfloat16.dtype)
+        return QuantTensor("bf16", (n, k), pt.scale, {"w": jnp.asarray(w)})
+    if kind == "sfp":
+        assert pt.type == Type.SFP
+        codes = pt.data.reshape(n, k)
+        return QuantTensor("sfp", (n, k), pt.scale, {"codes": jnp.asarray(codes)})
+    if kind == "nuq":
+        assert pt.type == Type.NUQ
+        codes = nuq_codec.to_sfp_codes(pt.data, n, k)
+        return QuantTensor("nuq", (n, k), pt.scale, {"codes": jnp.asarray(codes)})
+    if kind == "nuq4":
+        assert pt.type == Type.NUQ
+        tables, codes = nuq_codec.to_device_layout(pt.data, n, k)
+        return QuantTensor(
+            "nuq4", (n, k), pt.scale,
+            {"codes": jnp.asarray(codes), "tables": jnp.asarray(tables)},
+        )
+    if kind == "i8":
+        assert pt.type == Type.I8
+        codes, inv_scales, neg_zp = int8_codec.to_device_layout(pt.data, n, k)
+        return QuantTensor(
+            "i8", (n, k), pt.scale,
+            {
+                "codes": jnp.asarray(codes),
+                "inv_scales": jnp.asarray(inv_scales),
+                "neg_zp_scaled": jnp.asarray(neg_zp),
+            },
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel dequantization helpers (operate on VMEM-resident tiles).
+# ---------------------------------------------------------------------------
+
+
+def _sfp_tile_to_bf16(codes: jnp.ndarray) -> jnp.ndarray:
+    """SFP bytes -> bf16, integer ops only (see compression/sfp.py).
+
+    Uses i32 multiplies instead of shifts: Mosaic does not legalize vector
+    shifts on sub-32-bit types, and the VPU multiplier handles these fine.
+    """
+    c = codes.astype(jnp.int32)
+    sign = (c & 0x80) * 256  # sign bit into bf16 bit 15
+    v = c & 0x7F
+    mag = jnp.where(v < 64, 0x3400 + v * 32, 0x3800 + v * 16)
+    mag = jnp.where(v == 0, 0, mag)
+    bits = (mag | sign).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+
+
+def _nuq_tile_dequant(codes: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
+    """NUQ 4-bit LUT dequant via a 4-level binary select tree.
+
+    codes: u8 [bn, bk]; tables: f32 [bn, bk/256, 16].
+    15 vector selects/element on the VPU -- the TPU stand-in for the
+    reference's TableLookupLanes (nuq-inl.h:575-596).
+    """
+    bn, bk = codes.shape
+    g = tables.shape[1]
+    per = bk // g
+    c = codes.reshape(bn, g, per).astype(jnp.int32)
+    b0 = (c & 1) == 1
+    b1 = (c & 2) == 2
+    b2 = (c & 4) == 4
+    b3 = (c & 8) == 8
+
+    def entry(i):
+        # Static slice (Mosaic has no ND gather in kernels).
+        return jax.lax.slice_in_dim(tables, i, i + 1, axis=2)
+
+    # Level 0: 8 selects between adjacent table entries on bit0.
+    t = [jnp.where(b0, entry(2 * i + 1), entry(2 * i)) for i in range(8)]
+    # Level 1: 4 selects on bit1.
+    t = [jnp.where(b1, t[2 * i + 1], t[2 * i]) for i in range(4)]
+    # Level 2: 2 selects on bit2.
+    t = [jnp.where(b2, t[2 * i + 1], t[2 * i]) for i in range(2)]
+    # Level 3: final select on bit3.
+    out = jnp.where(b3, t[1], t[0])
+    return out.reshape(bn, bk)
+
+
+def _i8_tile_dequant(
+    codes: jnp.ndarray, inv_scales: jnp.ndarray, neg_zp: jnp.ndarray
+) -> jnp.ndarray:
+    """codes i8 [bn, bk], scales f32 [bn, bk/128] -> f32 via one fma."""
+    bn, bk = codes.shape
+    g = inv_scales.shape[1]
+    c = codes.reshape(bn, g, bk // g).astype(jnp.float32)
+    out = c * inv_scales[:, :, None] + neg_zp[:, :, None]
+    return out.reshape(bn, bk)
+
+
+# ---------------------------------------------------------------------------
+# The Pallas matmul kernel.
+# ---------------------------------------------------------------------------
+
+
+def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *refs):
+    """Grid (M/bm, N/bn, K/bk); accumulate f32 in scratch, emit at last K.
+
+    `gk` = quant groups per K block; group metadata (NUQ tables, I8 scales)
+    is blocked per N tile only (all K groups resident) because Mosaic
+    requires the last two block dims to be tile-aligned -- the kernel slices
+    out the current K step's groups with pl.ds.
+    """
+    k_step = pl.program_id(2)
+
+    def dot_acc(a_tile, b_tile, acc_ref, f32_b):
+        if f32_b:
+            # Tables/scales are f32; a bf16 round-trip would lose the LUT
+            # exactness, so cast A up and keep B f32.
+            acc_ref[...] += jax.lax.dot_general(
+                a_tile.astype(jnp.float32), b_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc_ref[...] += jax.lax.dot_general(
+                a_tile, b_tile.astype(a_tile.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if kind == "nuq4":
+        a_ref, b_ref, tbl_ref, out_ref, acc_ref = refs
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        # Chunk the dequant per 256-group: the select tree materializes
+        # full-size temporaries in Mosaic, so a whole (bn, bk) tile would
+        # blow VMEM.  fori_loop keeps one group's temps live at a time.
+        group = 256
+
+        def body(g, _):
+            codes = b_ref[:, pl.ds(g * group, group)]
+            tbl = tbl_ref[:, pl.ds(k_step * gk + g, 1), :]
+            deq = _nuq_tile_dequant(codes, tbl)
+            a_chunk = a_ref[:, pl.ds(g * group, group)]
+            dot_acc(a_chunk, deq, acc_ref, f32_b=True)
+            return 0
+
+        jax.lax.fori_loop(0, gk, body, 0)
+    else:
+        if kind in ("bf16", "f32"):
+            a_ref, b_ref, out_ref, acc_ref = refs
+            b_tile = b_ref[...]
+        elif kind in ("sfp", "nuq"):
+            a_ref, b_ref, out_ref, acc_ref = refs
+            b_tile = _sfp_tile_to_bf16(b_ref[...])
+        elif kind == "i8":
+            a_ref, b_ref, inv_ref, nzp_ref, out_ref, acc_ref = refs
+            inv = inv_ref[:, pl.ds(k_step * gk, gk)]
+            nzp = nzp_ref[:, pl.ds(k_step * gk, gk)]
+            b_tile = _i8_tile_dequant(b_ref[...], inv, nzp)
+        else:
+            raise ValueError(kind)
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        dot_acc(a_ref[...], b_tile, acc_ref, f32_b=kind == "i8")
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        acc = acc_ref[...]
+        if scale != 1.0:
+            acc = acc * jnp.float32(scale)
+        out_ref[...] = acc.astype(out_dtype)
+
+
+def _pad2(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    pr, pc = rows - x.shape[0], cols - x.shape[1]
+    if pr == 0 and pc == 0:
+        return x
+    return jnp.pad(x, ((0, pr), (0, pc)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "shape", "scale", "block_m", "block_n", "block_k",
+                     "out_dtype", "interpret"),
+)
+def _matmul_pallas(
+    a: jnp.ndarray,
+    arrays: dict[str, jnp.ndarray],
+    kind: str,
+    shape: tuple[int, int],
+    scale: float,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    out_dtype,
+    interpret: bool,
+) -> jnp.ndarray:
+    m, k_dim = a.shape
+    n, k2 = shape
+    assert k_dim == k2, (a.shape, shape)
+
+    bm = min(block_m, round_up(m, 8))
+    bn = min(block_n, round_up(n, 128))
+    bk = min(block_k, round_up(k_dim, 128))
+    mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k_dim, bk)
+
+    a_pad = _pad2(a, mp, kp)
+    grid = (mp // bm, np_ // bn, kp // bk)
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+    ]
+    inputs = [a_pad]
+
+    if kind in ("bf16", "f32"):
+        inputs.append(_pad2(arrays["w"], np_, kp))
+        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
+    elif kind in ("sfp", "nuq"):
+        inputs.append(_pad2(arrays["codes"], np_, kp))
+        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
+    gk = 0
+    if kind == "nuq4":
+        codes, tables = arrays["codes"], arrays["tables"]
+        group = codes.shape[1] // tables.shape[1]  # 256
+        assert bk % group == 0, "NUQ block_k must cover whole 256-groups"
+        inputs.append(_pad2(codes, np_, kp))
+        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
+        gp = kp // group
+        gk = bk // group
+        tables_p = jnp.pad(
+            tables,
+            ((0, np_ - tables.shape[0]), (0, gp - tables.shape[1]), (0, 0)),
+        )
+        inputs.append(tables_p)
+        # All K groups resident per N tile; the kernel slices per K step.
+        in_specs.append(pl.BlockSpec((bn, gp, 16), lambda i, j, kk: (j, 0, 0)))
+    elif kind == "i8":
+        codes = arrays["codes"]
+        inv_s, nzp = arrays["inv_scales"], arrays["neg_zp_scaled"]
+        group = codes.shape[1] // inv_s.shape[1]  # 128
+        assert bk % group == 0
+        inputs.append(_pad2(codes, np_, kp))
+        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
+        gp = kp // group
+        gk = bk // group
+        for arr in (inv_s, nzp):
+            inputs.append(_pad2(arr, np_, gp))
+            in_specs.append(pl.BlockSpec((bn, gp), lambda i, j, kk: (j, 0)))
+    elif kind not in ("bf16", "f32", "sfp", "nuq"):
+        raise ValueError(kind)
+
+    kernel = functools.partial(_mm_kernel, kind, grid[2], scale, out_dtype, gk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + np_ * kp + mp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(*inputs)
+    return out[:m, :n]
+
+
+def matmul(
+    a: jnp.ndarray,
+    w: QuantTensor,
+    out_dtype=jnp.float32,
+    add: jnp.ndarray | None = None,
+    blocks: tuple[int, int, int] | None = None,
+    interpret: bool | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """C = scale * A @ W^T (+ add); the `CallMatMul` analog (ops-inl.h:64-71)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if use_pallas is None:
+        # On CPU the interpreter is for testing only; XLA fallback is faster.
+        use_pallas = True
+    if blocks is None:
+        from gemma_tpu.ops.autotune import best_blocks
+
+        blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+
+    if use_pallas:
+        out = _matmul_pallas(
+            a, w.arrays, w.kind, w.shape, float(w.scale), *blocks,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+    else:
+        dense = w.dequantize(jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32)
+        out = jax.lax.dot_general(
+            a, dense, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+    if add is not None:
+        out = (out.astype(jnp.float32) + add.astype(jnp.float32)).astype(out_dtype)
+    return out
+
+
+def gated_ffn(
+    x: jnp.ndarray,
+    w1: QuantTensor,
+    w2: QuantTensor,
+    activation: str = "gelu",
+    **kw: Any,
+) -> jnp.ndarray:
+    """TwoMatMul analog: gelu(x @ W1^T) * (x @ W2^T) (matmul-inl.h:1114-1175).
+
+    On TPU the weights dominate HBM traffic and W1 != W2 cannot share reads,
+    so two fused-dequant matmuls + XLA-fused elementwise epilogue is already
+    bandwidth-optimal; the reference's single-A-pass trick targets CPU cache
+    reuse that has no analog here.
+    """
+    from gemma_tpu.ops.ops import gelu as gelu_op
+
+    c1 = matmul(x, w1, out_dtype=jnp.float32, **kw)
+    c2 = matmul(x, w2, out_dtype=jnp.float32, **kw)
+    assert activation == "gelu"
+    return gelu_op(c1) * c2

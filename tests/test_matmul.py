@@ -1,0 +1,128 @@
+"""Dequant-fused matmul vs oracle, mirroring ops/matmul_test.cc.
+
+The oracle is a dense jnp matmul on the decoded weights (`MatMulSlow`
+analog); kernels run in Pallas interpret mode on CPU and natively on TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemma_tpu.compression import Type, compress_tensor
+from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul, quant_tensor_from_packed
+
+
+def _mk(kind, m, k, n, rng, scale_big=False):
+    sigma = 3.0 if scale_big else 0.4
+    a = rng.normal(0, 1, (m, k)).astype(np.float32)
+    w_dense = rng.normal(0, sigma, (n, k)).astype(np.float32)
+    type_ = {"f32": Type.F32, "bf16": Type.BF16, "sfp": Type.SFP,
+             "nuq": Type.NUQ, "nuq4": Type.NUQ, "i8": Type.I8}[kind]
+    pt = compress_tensor(type_, "w", w_dense)
+    qt = quant_tensor_from_packed(pt, kind=kind if kind == "nuq4" else None)
+    return jnp.asarray(a), qt, pt.to_f32()
+
+
+@pytest.mark.parametrize("kind", ["f32", "bf16", "sfp", "nuq", "nuq4", "i8"])
+def test_matmul_vs_oracle(kind):
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    m, k, n = 16, 512, 256
+    a, qt, w_decoded = _mk(kind, m, k, n, rng)
+    got = np.asarray(matmul(a, qt))
+    want = a @ w_decoded.T
+    tol = {"f32": 1e-5, "bf16": 8e-3, "sfp": 8e-3, "nuq": 8e-3,
+           "nuq4": 8e-3, "i8": 8e-3}[kind]
+    rel = np.abs(got - want) / (np.abs(want) + 1.0)
+    assert rel.max() < tol, (kind, rel.max())
+
+
+@pytest.mark.parametrize("kind", ["sfp", "nuq", "nuq4", "i8"])
+def test_dequant_in_kernel_matches_host_decode(kind):
+    """The in-kernel dequant must EXACTLY match the host codec decode."""
+    rng = np.random.default_rng(1)
+    k, n = 512, 128
+    w_dense = rng.normal(0, 0.4, (n, k)).astype(np.float32)
+    type_ = {"sfp": Type.SFP, "nuq": Type.NUQ, "nuq4": Type.NUQ, "i8": Type.I8}[kind]
+    pt = compress_tensor(type_, "w", w_dense)
+    qt = quant_tensor_from_packed(pt, kind=kind if kind == "nuq4" else None)
+    got = np.asarray(qt.dequantize())
+    np.testing.assert_allclose(got, pt.to_f32(), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [(1, 256, 128), (3, 300, 136), (12, 64, 48), (17, 1024, 640), (100, 129, 257)],
+)
+def test_remainder_shapes(m, k, n):
+    """TestTiny analog: odd shapes must pad/slice correctly."""
+    rng = np.random.default_rng(m * 1000 + n)
+    a = rng.normal(0, 1, (m, k)).astype(np.float32)
+    w = rng.normal(0, 0.4, (n, k)).astype(np.float32)
+    qt = QuantTensor("f32", (n, k), 1.0, {"w": jnp.asarray(w)})
+    got = np.asarray(matmul(jnp.asarray(a), qt))
+    want = a @ w.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_scale_and_add():
+    rng = np.random.default_rng(2)
+    m, k, n = 8, 256, 128
+    a = rng.normal(0, 1, (m, k)).astype(np.float32)
+    w = rng.normal(0, 1, (n, k)).astype(np.float32)
+    add = rng.normal(0, 1, (n,)).astype(np.float32)
+    qt = QuantTensor("f32", (n, k), 2.5, {"w": jnp.asarray(w)})
+    got = np.asarray(matmul(jnp.asarray(a), qt, add=jnp.asarray(add)))
+    np.testing.assert_allclose(got, 2.5 * (a @ w.T) + add, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_input():
+    rng = np.random.default_rng(3)
+    m, k, n = 8, 512, 256
+    a = rng.normal(0, 1, (m, k)).astype(np.float32)
+    w_dense = rng.normal(0, 0.4, (n, k)).astype(np.float32)
+    pt = compress_tensor(Type.SFP, "w", w_dense)
+    qt = quant_tensor_from_packed(pt)
+    got = np.asarray(matmul(jnp.asarray(a).astype(jnp.bfloat16), qt))
+    want = np.asarray(jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32)) @ pt.to_f32().T
+    rel = np.abs(got - want) / (np.abs(want) + 1.0)
+    assert rel.max() < 2e-2
+
+
+def test_gated_ffn():
+    rng = np.random.default_rng(4)
+    m, k, ff = 4, 256, 512
+    x = rng.normal(0, 1, (m, k)).astype(np.float32)
+    w1d = rng.normal(0, 0.4, (ff, k)).astype(np.float32)
+    w2d = rng.normal(0, 0.4, (ff, k)).astype(np.float32)
+    w1 = QuantTensor("f32", (ff, k), 1.0, {"w": jnp.asarray(w1d)})
+    w2 = QuantTensor("f32", (ff, k), 1.0, {"w": jnp.asarray(w2d)})
+    got = np.asarray(gated_ffn(jnp.asarray(x), w1, w2))
+    c1 = x @ w1d.T
+    c2 = x @ w2d.T
+    want = c1 * 0.5 * (1 + np.tanh(c1 * (0.797884560804236 + 0.03567740813636141 * c1**2))) * c2
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_quant_tensor_pytree():
+    import jax
+
+    qt = QuantTensor("sfp", (4, 8), 1.5, {"codes": jnp.zeros((4, 8), jnp.uint8)})
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.kind == "sfp" and qt2.scale == 1.5 and qt2.shape == (4, 8)
+
+
+def test_autotune_cache(tmp_path, monkeypatch):
+    import importlib
+
+    from gemma_tpu.ops import autotune as at
+
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    at._load_cache.cache_clear()
+    blocks = at.autotune(8, 256, 128, "f32", reps=1)
+    assert (tmp_path / "cache.json").exists()
+    # Second call hits the cache.
+    blocks2 = at.autotune(8, 256, 128, "f32", reps=1)
+    assert blocks == blocks2
+    bm, bn, bk = at.best_blocks(8, 256, 128, "f32")
+    assert bm <= 8 and bn <= 128 and bk <= 256

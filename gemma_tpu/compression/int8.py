@@ -96,13 +96,15 @@ def to_device_layout(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Convert an I8 stream into the TPU matmul layout.
 
-    Returns (codes, inv_scales, neg_zp_scaled):
-      codes:          i8  [rows, cols]
-      inv_scales:     f32 [rows, ceil(cols/128)]
-      neg_zp_scaled:  f32 [rows, ceil(cols/128)]  (= -zeropoint * inv_scale)
+    Returns (codes, inv_scales, zeropoints):
+      codes:       i8  [rows, cols]
+      inv_scales:  f32 [rows, ceil(cols/128)]  (bf16-exact values)
+      zeropoints:  f32 [rows, ceil(cols/128)]  (bf16-exact values)
 
-    so in-kernel dequant is a single fma: x = codes * inv_scale + neg_zp_scaled.
-    Requires cols % 128 == 0 (true for all Gemma configs); otherwise groups
+    In-kernel dequant: x = inv_scale * (codes - zeropoint), matching the
+    reference's x = inv*q - zp*inv (int-inl.h:85-89).  Both scalars are
+    bf16 in the stream, so they survive bf16-precision broadcast matmuls
+    exactly.  cols % 128 == 0 holds for all Gemma configs; otherwise groups
     span rows and we re-encode per aligned block.
     """
     num = rows * cols
@@ -119,12 +121,12 @@ def to_device_layout(
             np.float32
         )
         codes = grp[:, :, 4:].reshape(rows, cols).view(np.int8)
-        return codes, inv_scales, -zp * inv_scales
+        return codes, inv_scales, zp
 
     values = decode(stream, num).reshape(rows, cols)
     padded_cols = -(-cols // GROUP_SIZE) * GROUP_SIZE
     tmp = np.zeros((rows, padded_cols), np.float32)
     tmp[:, :cols] = values
     restream = encode(tmp.reshape(-1))
-    codes, inv_scales, neg_zp = to_device_layout(restream, rows, padded_cols)
-    return codes[:, :cols], inv_scales, neg_zp
+    codes, inv_scales, zp = to_device_layout(restream, rows, padded_cols)
+    return codes[:, :cols], inv_scales, zp

@@ -95,10 +95,10 @@ def embed_tokens(
     elif embedding.kind == "i8":
         codes = embedding.arrays["codes"][tokens].astype(jnp.float32)
         inv = embedding.arrays["inv_scales"][tokens]
-        nzp = embedding.arrays["neg_zp_scaled"][tokens]
+        zp = embedding.arrays["zeropoints"][tokens]
         g = inv.shape[-1]
         shaped = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
-        rows = (shaped * inv[..., None] + nzp[..., None]).reshape(codes.shape)
+        rows = (inv[..., None] * (shaped - zp[..., None])).reshape(codes.shape)
     elif embedding.kind == "nuq4":
         codes = embedding.arrays["codes"][tokens].astype(jnp.int32)
         tables = embedding.arrays["tables"][tokens]  # [..., G, 16]

@@ -56,7 +56,10 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
                 if bk % k_align or bk > bk_full:
                     continue
                 chunk = 256 if kind == "nuq4" else bk
-                dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * 12
+                # nuq4's select tree stack-allocates ~64 temporaries in
+                # Mosaic; others need ~3 i32 temps per element.
+                per_elem = 256 if kind == "nuq4" else 12
+                dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
                 vmem = (
                     2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in
                     + bn * bk * 2  # dequantized B
@@ -79,7 +82,8 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     bm = min(256, round_up(m, 8))
     for bn in (1024, 512, 256, 128):
         chunk = 256 if kind == "nuq4" else bk_full
-        dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * 12
+        per_elem = 256 if kind == "nuq4" else 12
+        dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
         vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
         vmem += dequant_tmp + bm * bn * 4
         if vmem <= _VMEM_BUDGET:
@@ -154,7 +158,7 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int = 3,
         arrays = {
             "codes": jnp.asarray(rng.integers(-128, 127, (n, k), dtype=np.int8)),
             "inv_scales": jnp.asarray(rng.normal(0, 1, (n, k // 128)).astype(np.float32)),
-            "neg_zp_scaled": jnp.asarray(np.zeros((n, k // 128), np.float32)),
+            "zeropoints": jnp.asarray(np.zeros((n, k // 128), np.float32)),
         }
     w = QuantTensor(kind, (n, k), 1.0, arrays)
 

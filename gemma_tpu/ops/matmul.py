@@ -100,11 +100,11 @@ class QuantTensor:
         elif self.kind == "i8":
             codes = self.arrays["codes"].astype(jnp.float32)
             inv = self.arrays["inv_scales"]  # [N, K/128]
-            nzp = self.arrays["neg_zp_scaled"]
+            zp = self.arrays["zeropoints"]
             n, k = codes.shape
             g = inv.shape[1]
             c = codes.reshape(n, g, k // g)
-            w = (c * inv[:, :, None] + nzp[:, :, None]).reshape(n, k)
+            w = (inv[:, :, None] * (c - zp[:, :, None])).reshape(n, k)
         else:
             raise ValueError(self.kind)
         if self.scale != 1.0:
@@ -153,13 +153,13 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
         )
     if kind == "i8":
         assert pt.type == Type.I8
-        codes, inv_scales, neg_zp = int8_codec.to_device_layout(pt.data, n, k)
+        codes, inv_scales, zp = int8_codec.to_device_layout(pt.data, n, k)
         return QuantTensor(
             "i8", (n, k), pt.scale,
             {
                 "codes": jnp.asarray(codes),
                 "inv_scales": jnp.asarray(inv_scales),
-                "neg_zp_scaled": jnp.asarray(neg_zp),
+                "zeropoints": jnp.asarray(zp),
             },
         )
     raise ValueError(kind)
@@ -242,21 +242,15 @@ def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *ref
     """
     k_step = pl.program_id(2)
 
-    def dot_acc(a_tile, b_tile, acc_ref, f32_b):
-        if f32_b:
-            # Tables/scales are f32; a bf16 round-trip would lose the LUT
-            # exactness, so cast A up and keep B f32.
-            acc_ref[...] += jax.lax.dot_general(
-                a_tile.astype(jnp.float32), b_tile,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            acc_ref[...] += jax.lax.dot_general(
-                a_tile, b_tile.astype(a_tile.dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    def dot_acc(a_tile, b_tile, acc_ref):
+        # B tiles feed the MXU at A's dtype (bf16 in production), matching
+        # the reference GEMM, which decompresses every codec's B tile into a
+        # BF16 scratch before the FMA loop (matmul-inl.h:229-258).
+        acc_ref[...] += jax.lax.dot_general(
+            a_tile, b_tile.astype(a_tile.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     if kind == "nuq4":
         a_ref, b_ref, tbl_ref, out_ref, acc_ref = refs
@@ -275,7 +269,7 @@ def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *ref
             tbl = tbl_ref[:, pl.ds(k_step * gk + g, 1), :]
             deq = _nuq_tile_dequant(codes, tbl)
             a_chunk = a_ref[:, pl.ds(g * group, group)]
-            dot_acc(a_chunk, deq, acc_ref, f32_b=True)
+            dot_acc(a_chunk, deq, acc_ref)
             return 0
 
         jax.lax.fori_loop(0, gk, body, 0)
@@ -287,10 +281,33 @@ def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *ref
             a_ref, b_ref, out_ref, acc_ref = refs
             b_tile = _sfp_tile_to_bf16(b_ref[...])
         elif kind == "i8":
-            a_ref, b_ref, inv_ref, nzp_ref, out_ref, acc_ref = refs
-            inv = inv_ref[:, pl.ds(k_step * gk, gk)]
-            nzp = nzp_ref[:, pl.ds(k_step * gk, gk)]
-            b_tile = _i8_tile_dequant(b_ref[...], inv, nzp)
+            a_ref, b_ref, inv_ref, zp_ref, out_ref, acc_ref = refs
+            # Expand per-group scales to per-column via a one-hot matmul:
+            # Mosaic cannot dynamically slice the (bn, groups) scale tile at
+            # non-128-aligned offsets, but sel[g, col] = (col's group == g)
+            # needs only iota compares, and the tiny (bn, gp)x(gp, bk) dot
+            # rides the MXU.
+            codes = b_ref[...]
+            bn_t, bk_t = codes.shape
+            gp_t = inv_ref.shape[1]
+            group = 128
+            col_group = (
+                k_step * (bk_t // group)
+                + jax.lax.broadcasted_iota(jnp.int32, (gp_t, bk_t), 1) // group
+            )
+            g_ids = jax.lax.broadcasted_iota(jnp.int32, (gp_t, bk_t), 0)
+            sel = (g_ids == col_group).astype(jnp.float32)
+            inv_tile = jax.lax.dot_general(
+                inv_ref[...], sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            zp_tile = jax.lax.dot_general(
+                zp_ref[...], sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # inv and zp are bf16-exact, so the broadcast matmuls are exact
+            # even at bf16 MXU precision; the combine runs f32 on the VPU.
+            b_tile = inv_tile * (codes.astype(jnp.float32) - zp_tile)
         else:
             raise ValueError(kind)
 
@@ -298,7 +315,7 @@ def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *ref
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        dot_acc(a_ref[...], b_tile, acc_ref, f32_b=kind == "i8")
+        dot_acc(a_ref[...], b_tile, acc_ref)
 
     @pl.when(k_step == n_k_steps - 1)
     def _():
@@ -373,14 +390,14 @@ def _matmul_pallas(
         in_specs.append(pl.BlockSpec((bn, gp, 16), lambda i, j, kk: (j, 0, 0)))
     elif kind == "i8":
         codes = arrays["codes"]
-        inv_s, nzp = arrays["inv_scales"], arrays["neg_zp_scaled"]
+        inv_s, zp = arrays["inv_scales"], arrays["zeropoints"]
         group = codes.shape[1] // inv_s.shape[1]  # 128
         assert bk % group == 0
         inputs.append(_pad2(codes, np_, kp))
         in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
         gp = kp // group
         gk = bk // group
-        for arr in (inv_s, nzp):
+        for arr in (inv_s, zp):
             inputs.append(_pad2(arr, np_, gp))
             in_specs.append(pl.BlockSpec((bn, gp), lambda i, j, kk: (j, 0)))
     elif kind not in ("bf16", "f32", "sfp", "nuq"):

@@ -46,11 +46,11 @@ def test_device_layout():
     rows, cols = 4, 256
     x = rng.normal(0, 1, (rows, cols)).astype(np.float32)
     stream = int8.encode(x.reshape(-1))
-    codes, inv_scales, neg_zp = int8.to_device_layout(stream, rows, cols)
+    codes, inv_scales, zp = int8.to_device_layout(stream, rows, cols)
     assert codes.shape == (rows, cols)
     assert inv_scales.shape == (rows, 2)
-    got = codes.astype(np.float32) * inv_scales.repeat(128, axis=1) + neg_zp.repeat(
-        128, axis=1
+    got = inv_scales.repeat(128, axis=1) * (
+        codes.astype(np.float32) - zp.repeat(128, axis=1)
     )
     ref = int8.decode(stream, rows * cols).reshape(rows, cols)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

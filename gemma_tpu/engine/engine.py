@@ -1,0 +1,325 @@
+"""Generation engine (maps gemma/gemma.{h,cc} GenerateT and SURVEY.md 3.2).
+
+Two jitted step functions over fixed shapes:
+
+  prefill_step: [B, C] token chunk -> updated cache  (big-M matmuls; padded
+                slots route their KV writes to the cache's garbage row)
+  decode_step:  [B, 1] prev tokens -> logits [B, V] + updated cache
+
+and around them:
+  - `generate` / `generate_batch`: host loop with per-token `stream_token`
+    callbacks (return False to stop a query -- the reference's StreamToken
+    protocol, gemma/gemma.h RuntimeConfig), EOS tracking, `accept_token`
+    constraints, TimingInfo.
+  - `generate_fast`: the whole decode loop inside one jit via lax.scan for
+    benchmarking (no streaming).
+
+Sampling: top-1 fused argmax or top-k/temperature with the per-(query, pos)
+counter PRNG (gemma.cc:459-485).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemma_tpu.engine.timing import TimingInfo
+from gemma_tpu.models.configs import ModelConfig
+from gemma_tpu.models.gemma import Params, forward
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.ops import sampling
+from gemma_tpu.utils.basics import sample_key
+
+StreamFunc = Callable[[int, int, int, float], bool]
+AcceptFunc = Callable[[int, float], bool]
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Maps InferenceArgs/RuntimeConfig (gemma/gemma_args.h:114-265)."""
+
+    max_generated_tokens: int = 2048
+    prefill_tbatch_size: int = 256
+    decode_qbatch_size: int = 16
+    temperature: float = 1.0
+    top_k: int = 1
+    seed: int = 0
+    verbosity: int = 1
+    seq_len: int = 8192
+
+
+class GemmaEngine:
+    """Owns params + jitted step functions (the `Gemma` class analog)."""
+
+    def __init__(self, params: Params, config: ModelConfig,
+                 runtime: RuntimeConfig | None = None):
+        self.params = params
+        self.config = config
+        self.runtime = runtime or RuntimeConfig()
+        self._prefill_fns: dict = {}
+        self._decode_fns: dict = {}
+        self._generate_fns: dict = {}
+
+    # --- jitted steps ---
+
+    def _prefill_fn(self, batch: int, chunk: int):
+        key = (batch, chunk)
+        if key not in self._prefill_fns:
+            config = self.config
+
+            @jax.jit
+            def step(params, tokens, positions, valid, prefix_end, cache):
+                _, cache = forward(
+                    params, tokens, positions, cache, config,
+                    prefix_end=prefix_end, return_logits="none", valid=valid,
+                )
+                return cache
+
+            self._prefill_fns[key] = step
+        return self._prefill_fns[key]
+
+    def _decode_fn(self, batch: int):
+        if batch not in self._decode_fns:
+            config = self.config
+
+            @jax.jit
+            def step(params, prev_tokens, positions, cache):
+                logits, cache = forward(
+                    params, prev_tokens, positions, cache, config,
+                    return_logits="last",
+                )
+                return logits, cache
+
+            self._decode_fns[batch] = step
+        return self._decode_fns[batch]
+
+    # --- public API ---
+
+    def new_cache(self, batch: int, seq_len: int | None = None) -> KVCache:
+        return KVCache.create(self.config, batch,
+                              seq_len or self.runtime.seq_len)
+
+    def prefill(
+        self,
+        prompts: Sequence[Sequence[int]],
+        cache: KVCache,
+        start_pos: Sequence[int] | None = None,
+        prefix_end: Sequence[int] | None = None,
+        stream_token: StreamFunc | None = None,
+        image_embeddings=None,
+    ) -> tuple[KVCache, list[int]]:
+        """Prefill all but the last prompt token; returns (cache, last tokens).
+
+        Maps PrefillTBatch (gemma.cc:188-283): chunked over
+        prefill_tbatch_size, one query at a time when lengths are ragged.
+        """
+        batch = len(prompts)
+        start_pos = list(start_pos or [0] * batch)
+        prefix_end = list(prefix_end or [0] * batch)
+        chunk_size = self.runtime.prefill_tbatch_size
+
+        for qi, prompt in enumerate(prompts):
+            prompt = list(prompt)
+            assert prompt, "prompts must be non-empty"
+            # Attend to the last token too when it is inside the prefix
+            # (gemma.cc:219-232).
+            n_prefill = len(prompt) - 1
+            if n_prefill < prefix_end[qi]:
+                n_prefill += 1
+            pos = start_pos[qi]
+            done = 0
+            while done < n_prefill:
+                n = min(chunk_size, n_prefill - done)
+                chunk = prompt[done : done + n]
+                padded = chunk + [0] * (chunk_size - n)
+                tokens = np.zeros((batch, chunk_size), np.int32)
+                tokens[qi] = padded
+                positions = np.zeros((batch, chunk_size), np.int32)
+                positions[qi] = np.arange(pos, pos + chunk_size)
+                valid = np.zeros((batch, chunk_size), bool)
+                valid[qi, :n] = True
+                pe = np.zeros((batch,), np.int32)
+                pe[qi] = prefix_end[qi]
+                step = self._prefill_fn(batch, chunk_size)
+                cache = step(self.params, jnp.asarray(tokens),
+                             jnp.asarray(positions), jnp.asarray(valid),
+                             jnp.asarray(pe), cache)
+                if stream_token is not None:
+                    for i, tok in enumerate(chunk):
+                        if done + i < len(prompt) - 1:
+                            stream_token(qi, pos + i, int(tok), 0.0)
+                pos += n
+                done += n
+        last_tokens = [int(p[-1]) for p in prompts]
+        return cache, last_tokens
+
+    def generate(
+        self,
+        prompt: Sequence[int],
+        max_generated_tokens: int | None = None,
+        stream_token: StreamFunc | None = None,
+        accept_token: AcceptFunc | None = None,
+        cache: KVCache | None = None,
+        start_pos: int = 0,
+        prefix_end: int = 0,
+        timing_info: TimingInfo | None = None,
+    ) -> list[int]:
+        """Single-query generation (Gemma::Generate, gemma.cc:663-674)."""
+        outs = self.generate_batch(
+            [prompt],
+            max_generated_tokens=max_generated_tokens,
+            stream_token=stream_token,
+            accept_token=accept_token,
+            cache=cache,
+            start_pos=[start_pos],
+            prefix_end=[prefix_end],
+            timing_info=timing_info,
+        )
+        return outs[0]
+
+    def generate_batch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_generated_tokens: int | None = None,
+        stream_token: StreamFunc | None = None,
+        accept_token: AcceptFunc | None = None,
+        cache: KVCache | None = None,
+        start_pos: Sequence[int] | None = None,
+        prefix_end: Sequence[int] | None = None,
+        timing_info: TimingInfo | None = None,
+    ) -> list[list[int]]:
+        """Batched generation with EOS tracking (GenerateT, gemma.cc:488-568)."""
+        rt = self.runtime
+        batch = len(prompts)
+        max_gen = max_generated_tokens or rt.max_generated_tokens
+        timing = timing_info or TimingInfo(verbosity=0)
+        timing.prefill_start = time.monotonic()
+
+        if cache is None:
+            cache = self.new_cache(batch)
+        start_pos = list(start_pos or [0] * batch)
+        prefix_end = list(prefix_end or [0] * batch)
+
+        cache, last_tokens = self.prefill(prompts, cache, start_pos,
+                                          prefix_end, stream_token)
+        timing.notify_prefill(sum(len(p) - 1 for p in prompts))
+
+        # Stream the last prompt token (gemma.cc:540-554).
+        non_eos = [True] * batch
+        pos = [start_pos[qi] + len(prompts[qi]) - 1 for qi in range(batch)]
+        for qi in range(batch):
+            tok = last_tokens[qi]
+            if stream_token is not None:
+                if not stream_token(qi, pos[qi], tok, 0.0):
+                    non_eos[qi] = False
+
+        decode = self._decode_fn(batch)
+        outputs: list[list[int]] = [[] for _ in range(batch)]
+        prev = np.asarray(last_tokens, np.int32)
+        timing.generate_start = time.monotonic()
+
+        for _step in range(max_gen):
+            if not any(non_eos):
+                break
+            positions = np.asarray(pos, np.int32)[:, None]
+            logits, cache = decode(self.params, jnp.asarray(prev[:, None]),
+                                   jnp.asarray(positions), cache)
+            tokens, probs = self._sample(logits, pos, accept_token)
+            timing.notify_generated(sum(non_eos))
+            for qi in range(batch):
+                if not non_eos[qi]:
+                    continue
+                tok, prob = int(tokens[qi]), float(probs[qi])
+                if stream_token is not None:
+                    if not stream_token(qi, pos[qi] + 1, tok, prob):
+                        tok = self.config.eos_id
+                outputs[qi].append(tok)
+                prev[qi] = tok
+                pos[qi] += 1
+                if self.config.is_eos(tok):
+                    non_eos[qi] = False
+        timing.notify_generate_done()
+        return outputs
+
+    def _sample(self, logits: jnp.ndarray, pos: list[int],
+                accept_token: AcceptFunc | None):
+        rt = self.runtime
+        if accept_token is not None:
+            # Host-side constrained sampling (run_mmlu's accept_token).
+            arr = np.asarray(logits)
+            out_t, out_p = [], []
+            for qi in range(arr.shape[0]):
+                row = arr[qi]
+                allowed = np.array(
+                    [accept_token(t, float(row[t])) for t in range(row.shape[0])]
+                )
+                row = np.where(allowed, row, -np.inf)
+                e = np.exp(row - row.max())
+                probs = e / e.sum()
+                if rt.top_k == 1 or rt.temperature == 0.0:
+                    t = int(np.argmax(row))
+                else:
+                    idx = np.argsort(row)[-rt.top_k:]
+                    p = probs[idx] ** (1.0 / rt.temperature)
+                    p /= p.sum()
+                    key = sample_key(rt.seed, qi, pos[qi] + 1)
+                    u = np.asarray(jax.random.uniform(key))
+                    t = int(idx[np.searchsorted(np.cumsum(p), u)])
+                out_t.append(t)
+                out_p.append(float(probs[t]))
+            return np.asarray(out_t), np.asarray(out_p)
+
+        if rt.top_k == 1:
+            tokens, probs = sampling.top1(logits)
+            return np.asarray(tokens), np.asarray(probs)
+        keys = jnp.stack(
+            [sample_key(rt.seed, qi, pos[qi] + 1) for qi in range(logits.shape[0])]
+        )
+        sampler = sampling.make_sampler(rt.top_k, rt.temperature)
+        tokens, probs = sampler(logits, keys)
+        return np.asarray(tokens), np.asarray(probs)
+
+    # --- fused benchmark loop ---
+
+    def generate_fast(self, prompts: Sequence[Sequence[int]],
+                      max_steps: int) -> np.ndarray:
+        """Greedy decode with the whole loop inside one jit (lax.scan).
+
+        Returns [batch, max_steps] tokens; no EOS early-exit or streaming --
+        this is the throughput path for benchmarks.
+        """
+        batch = len(prompts)
+        cache = self.new_cache(batch)
+        cache, last_tokens = self.prefill(prompts, cache)
+        pos0 = np.asarray([len(p) - 1 for p in prompts], np.int32)
+        key = (batch, max_steps)
+        if key not in self._generate_fns:
+            config = self.config
+
+            @jax.jit
+            def run(params, prev, pos, cache):
+                def body(carry, _):
+                    prev, pos, cache = carry
+                    logits, cache = forward(
+                        params, prev[:, None], pos[:, None], cache, config,
+                        return_logits="last",
+                    )
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (tok, pos + 1, cache), tok
+
+                (_, _, cache), tokens = jax.lax.scan(
+                    body, (prev, pos, cache), None, length=max_steps
+                )
+                return tokens.T, cache
+
+            self._generate_fns[key] = run
+        tokens, _ = self._generate_fns[key](
+            self.params, jnp.asarray(last_tokens, jnp.int32),
+            jnp.asarray(pos0), cache,
+        )
+        return np.asarray(tokens)

@@ -120,6 +120,7 @@ def transformer_layer(
     prefix_end: jnp.ndarray | int = 0,
     inv_timescale: jnp.ndarray | None = None,
     inv_timescale_global: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """One TransformerLayer (gemma.cc:83-116). x: [B, T, model_dim] f32."""
     lc = config.layer_configs[layer_idx]
@@ -153,12 +154,12 @@ def transformer_layer(
     q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
 
     cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
-                         v.astype(cache.kv.dtype))
+                         v.astype(cache.kv.dtype), valid=valid)
 
     window = config.attention_window_sizes[layer_idx]
     mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-    k_cache = cache.kv[:, layer_idx, :, 0]
-    v_cache = cache.kv[:, layer_idx, :, 1]
+    k_cache = cache.kv[:, layer_idx, : cache.seq_len, 0]
+    v_cache = cache.kv[:, layer_idx, : cache.seq_len, 1]
     att_out = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
                                        att_cap=config.att_cap)
 
@@ -202,6 +203,7 @@ def forward(
     return_logits: str = "all",
     image_embeddings: jnp.ndarray | None = None,
     image_slot_mask: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray | None, KVCache]:
     """Run the full stack over a [B, T] token step.
 
@@ -233,7 +235,7 @@ def forward(
     for layer_idx, layer in enumerate(params.layers):
         x, cache = transformer_layer(
             layer, layer_idx, x, positions, cache, config, prefix_end,
-            inv_ts, inv_ts_g,
+            inv_ts, inv_ts_g, valid,
         )
 
     if return_logits == "none":

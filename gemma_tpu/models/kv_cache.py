@@ -43,7 +43,9 @@ class KVCache:
 
     @property
     def seq_len(self) -> int:
-        return self.kv.shape[2]
+        # One extra "garbage bin" row absorbs writes from padded slots so
+        # the engine can run fixed token-batch shapes without recompiling.
+        return self.kv.shape[2] - 1
 
     @classmethod
     def create(
@@ -56,7 +58,8 @@ class KVCache:
         lc = config.layer_configs[0]
         seq_len = min(seq_len or config.max_seq_len, config.max_seq_len)
         kv = jnp.zeros(
-            (batch, len(config.layer_configs), seq_len, 2, lc.kv_heads, lc.qkv_dim),
+            (batch, len(config.layer_configs), seq_len + 1, 2, lc.kv_heads,
+             lc.qkv_dim),
             dtype,
         )
         return cls(kv)
@@ -66,15 +69,23 @@ class KVCache:
         return KVCache(jnp.array(self.kv))
 
     def update(
-        self, layer_idx: int, positions: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+        self,
+        layer_idx: int,
+        positions: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        valid: jnp.ndarray | None = None,
     ) -> "KVCache":
         """Write k/v at ring positions.
 
         positions: [batch, tokens] absolute positions (mod applied here)
         k, v:      [batch, tokens, kv_heads, qkv_dim]
+        valid:     [batch, tokens] bool; invalid slots go to the garbage row.
         """
         seq_len = self.seq_len
         rows = positions % seq_len
+        if valid is not None:
+            rows = jnp.where(valid, rows, seq_len)
         kv_new = jnp.stack([k, v], axis=2)  # [batch, tokens, 2, heads, dim]
         # Scatter rows into the ring (batched dynamic update).
         updated = self.kv.at[:, layer_idx].set(

@@ -1,0 +1,144 @@
+"""Engine tests: greedy decode matches step-by-step oracle, streaming protocol."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gemma_tpu.engine import GemmaEngine, RuntimeConfig
+from tests.oracle import OracleModel
+from tests.test_model import random_weights, tiny_config, to_params
+
+
+def make_engine(rng, num_layers=2, **rt_kw):
+    config = tiny_config(num_layers=num_layers)
+    w = random_weights(config, rng)
+    params = to_params(w, config)
+    rt = RuntimeConfig(prefill_tbatch_size=8, seq_len=64, verbosity=0, **rt_kw)
+    return GemmaEngine(params, config, rt), w, config
+
+
+def oracle_greedy(w, config, prompt, steps):
+    oracle = OracleModel(config, w)
+    tokens = list(prompt)
+    out = []
+    for _ in range(steps):
+        logits = oracle.forward_tokens(tokens)
+        nxt = int(np.argmax(logits[-1]))
+        out.append(nxt)
+        tokens.append(nxt)
+        if config.is_eos(nxt):
+            break
+    return out
+
+
+def test_greedy_matches_oracle():
+    rng = np.random.default_rng(0)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 9).tolist()
+    got = engine.generate(prompt, max_generated_tokens=6)
+    want = oracle_greedy(w, config, prompt, 6)
+    assert got == want
+
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(1)
+    engine, w, config = make_engine(rng)
+    prompts = [
+        rng.integers(2, config.vocab_size, 7).tolist(),
+        rng.integers(2, config.vocab_size, 11).tolist(),
+    ]
+    batched = engine.generate_batch(prompts, max_generated_tokens=5)
+    for i, p in enumerate(prompts):
+        single = engine.generate(p, max_generated_tokens=5)
+        assert batched[i] == single, i
+
+
+def test_streaming_protocol():
+    rng = np.random.default_rng(2)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 5).tolist()
+    seen = []
+
+    def stream(qi, pos, token, prob):
+        seen.append((qi, pos, token))
+        return True
+
+    out = engine.generate(prompt, max_generated_tokens=3, stream_token=stream)
+    # All prompt tokens streamed, then the generated ones.
+    streamed_tokens = [t for (_, _, t) in seen]
+    assert streamed_tokens[: len(prompt)] == prompt
+    assert streamed_tokens[len(prompt):] == out
+    # Positions are consecutive.
+    assert [p for (_, p, _) in seen] == list(range(len(seen)))
+
+
+def test_stream_false_stops():
+    rng = np.random.default_rng(3)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 5).tolist()
+
+    count = [0]
+
+    def stream(qi, pos, token, prob):
+        count[0] += 1
+        return count[0] < len(prompt) + 2  # stop after 1 generated token
+
+    out = engine.generate(prompt, max_generated_tokens=10, stream_token=stream)
+    assert len(out) <= 2
+
+
+def test_generate_fast_matches_generate():
+    rng = np.random.default_rng(4)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 6).tolist()
+    slow = engine.generate(prompt, max_generated_tokens=5)
+    fast = engine.generate_fast([prompt], max_steps=5)[0].tolist()
+    # fast has no EOS early exit; compare the prefix up to EOS.
+    assert fast[: len(slow)] == slow
+
+
+def test_multiturn_cache_reuse():
+    """Multi-turn: second turn continues from the first turn's cache
+    (gemma_test.cc:99-151 semantics)."""
+    rng = np.random.default_rng(5)
+    engine, w, config = make_engine(rng)
+    t1 = rng.integers(2, config.vocab_size, 5).tolist()
+    out1 = engine.generate(t1, max_generated_tokens=3)
+
+    # One-shot equivalent: the whole history as a single prompt.
+    full_prompt = t1 + out1 + [9]
+    want = engine.generate(full_prompt, max_generated_tokens=3)
+
+    # Multi-turn: keep the cache, continue from abs_pos.
+    cache = engine.new_cache(1)
+    cache, _ = engine.prefill([t1 + out1], cache)
+    # Rewind-by-1 convention (run.cc:234-247): continuation prompt starts
+    # with the last generated token.
+    out2 = engine.generate(
+        [out1[-1], 9] if False else full_prompt[-2:],
+        max_generated_tokens=3,
+        cache=cache,
+        start_pos=len(t1 + out1) - 1,
+    )
+    assert out2 == want
+
+
+def test_accept_token_constraint():
+    rng = np.random.default_rng(6)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 4).tolist()
+    allowed = {5, 6, 7}
+    out = engine.generate(
+        prompt, max_generated_tokens=4,
+        accept_token=lambda t, p: t in allowed,
+    )
+    assert all(t in allowed for t in out)
+
+
+def test_top_k_sampling_runs():
+    rng = np.random.default_rng(7)
+    engine, w, config = make_engine(rng, top_k=4, temperature=0.8)
+    prompt = rng.integers(2, config.vocab_size, 4).tolist()
+    out1 = engine.generate(prompt, max_generated_tokens=5)
+    out2 = engine.generate(prompt, max_generated_tokens=5)
+    # Counter-based RNG: same (seed, qi, pos) streams -> deterministic.
+    assert out1 == out2

@@ -27,6 +27,9 @@ _CACHE_PATH = os.environ.get(
     "GEMMA_TPU_AUTOTUNE_CACHE",
     os.path.expanduser("~/.cache/gemma_tpu/autotune.json"),
 )
+# Winners swept on real hardware ship with the package; the user cache
+# overrides (it holds winners tuned on *this* machine).
+_PACKAGED_CACHE = os.path.join(os.path.dirname(__file__), "autotune_cache.json")
 
 # VMEM is ~16 MiB; Pallas double-buffers inputs and the in-kernel dequant
 # materializes i32 temporaries, so the model below must stay well under it.
@@ -47,18 +50,20 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
     k_align = 256 if kind == "nuq4" else 128
     out: list[tuple[int, int, int]] = []
     bm_opts = [bm for bm in (8, 16, 32, 64, 128, 256) if bm <= round_up(m, 8)]
+    bk_full = round_up(k, k_align)
     for bm in bm_opts[-3:] or bm_opts:
-        for bn in (128, 256, 512, 1024):
+        for bn in (128, 256, 512, 1024, 2048):
             if bn > round_up(n, 128):
                 continue
-            bk_full = round_up(k, k_align)
-            for bk in (256, 512, 1024, 2048, min(bk_full, 4096)):
+            for bk in (256, 512, 1024, 2048, 4096, bk_full):
                 if bk % k_align or bk > bk_full:
                     continue
                 chunk = 256 if kind == "nuq4" else bk
                 # nuq4's select tree stack-allocates ~64 temporaries in
-                # Mosaic; others need ~3 i32 temps per element.
-                per_elem = 256 if kind == "nuq4" else 12
+                # Mosaic; the byte codecs only materialize the bf16 tile
+                # (counted below) plus per-vreg temps.  Candidates that
+                # still blow VMEM fail to compile and are skipped.
+                per_elem = 256 if kind == "nuq4" else 2
                 dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
                 vmem = (
                     2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in
@@ -82,7 +87,7 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     bm = min(256, round_up(m, 8))
     for bn in (1024, 512, 256, 128):
         chunk = 256 if kind == "nuq4" else bk_full
-        per_elem = 256 if kind == "nuq4" else 12
+        per_elem = 256 if kind == "nuq4" else 2
         dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
         vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
         vmem += dequant_tmp + bm * bn * 4
@@ -93,11 +98,14 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
 
 @functools.lru_cache(maxsize=None)
 def _load_cache() -> dict:
-    try:
-        with open(_CACHE_PATH) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
+    merged: dict = {}
+    for path in (_PACKAGED_CACHE, _CACHE_PATH):
+        try:
+            with open(path) as f:
+                merged.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return merged
 
 
 def _save_cache(cache: dict) -> None:
@@ -130,10 +138,54 @@ def best_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     return _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
 
 
-def autotune(m: int, k: int, n: int, kind: str, reps: int = 3,
+def _dispatch_overhead() -> float:
+    """Measured per-call host->device dispatch+sync latency (can be ~25ms
+    over remote-tunnel backends), subtracted from loop timings."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: (x + 1.0).sum())
+    float(f(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _time_blocks(a, w, blocks, reps: int, overhead: float) -> float:
+    """Per-call time of `matmul(a, w, blocks)` via an in-jit scan loop.
+
+    A single dispatched call cannot be timed on remote backends (dispatch
+    latency swamps kernel time), so the candidate runs `reps` times inside
+    one executable with a serializing carry, and the (measured) fixed
+    dispatch overhead is subtracted.
+    """
+    from gemma_tpu.ops.matmul import matmul
+
+    @functools.partial(jax.jit, static_argnames=("blocks", "reps"))
+    def loop(a, w, blocks, reps):
+        def body(carry, _):
+            out = matmul(carry, w, blocks=blocks)
+            # Fold a negligible function of the output back into A so scan
+            # iterations cannot be reordered or deduplicated.
+            return carry + (out[0, 0] * 1e-30).astype(carry.dtype), ()
+
+        final, _ = jax.lax.scan(body, a, None, length=reps)
+        return final[0, 0]
+
+    float(loop(a, w, blocks, reps))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(loop(a, w, blocks, reps))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - overhead, 1e-9) / reps
+
+
+def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
              verbose: bool = False) -> tuple[int, int, int]:
     """Measure candidates for this shape and persist the winner."""
-    from gemma_tpu.ops.matmul import QuantTensor, matmul
+    from gemma_tpu.ops.matmul import QuantTensor
 
     key = f"{jax.default_backend()}|{kind}|{_m_bucket(m)}|{k}|{n}"
     cache = dict(_load_cache())
@@ -162,31 +214,59 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int = 3,
         }
     w = QuantTensor(kind, (n, k), 1.0, arrays)
 
-    # Distinct inputs per rep: the serving stack may dedupe identical
-    # dispatches, which would make every candidate look equally fast.
-    a_reps = [a + jnp.bfloat16(1e-3 * i) for i in range(reps)]
+    if reps is None:
+        # Aim for ~40ms of loop time per candidate so fixed dispatch
+        # overhead (which can be ~25ms on tunneled backends) is noise.
+        approx = max(n * k * 2 / 500e9, 5e-6)
+        reps = max(8, min(512, int(0.04 / approx)))
+    overhead = _dispatch_overhead()
 
     best, best_t = None, float("inf")
     for blocks in dict.fromkeys(_candidates(m, k, n, kind)):
         try:
-            out = matmul(a, w, blocks=blocks)
-            out.block_until_ready()
-            t0 = time.perf_counter()
-            for ar in a_reps:
-                out = matmul(ar, w, blocks=blocks)
-            out.block_until_ready()
-            dt_s = (time.perf_counter() - t0) / reps
+            dt_s = _time_blocks(a, w, blocks, reps, overhead)
         except Exception:  # noqa: BLE001 - invalid tile for this backend
             continue
         if verbose:
-            gflops = 2 * m * n * k / dt_s / 1e9
-            print(f"  {blocks}: {dt_s * 1e3:.3f} ms, {gflops:.0f} GFLOP/s")
+            gbs = n * k * {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1,
+                           "nuq4": 0.5625, "i8": 1}[kind] / dt_s / 1e9
+            print(f"  {blocks}: {dt_s * 1e6:.1f} us, {gbs:.0f} GB/s")
         if dt_s < best_t:
             best, best_t = blocks, dt_s
 
     if best is None:
         best = _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
+    if verbose:
+        print(f"  -> best {best} ({best_t * 1e6:.1f} us)")
     cache[key] = list(best)
     _save_cache(cache)
     _load_cache.cache_clear()
     return best
+
+
+def model_shapes(config, batch_sizes=(16, 256)) -> list[tuple[int, int, int]]:
+    """All (M, K, N) GEMM shapes one decode/prefill step of `config` hits."""
+    shapes = set()
+    d = config.model_dim
+    for lc in config.layer_configs:
+        h, kvh, q, ff = lc.heads, lc.kv_heads, lc.qkv_dim, lc.ff_hidden_dim
+        for m in batch_sizes:
+            shapes.add((m, d, h * q))        # qkv1
+            shapes.add((m, d, 2 * kvh * q))  # qkv2
+            shapes.add((m, h * q, d))        # att_w
+            shapes.add((m, d, ff))           # gating1/2
+            shapes.add((m, ff, d))           # linear
+    for m in batch_sizes:
+        shapes.add((m, d, config.vocab_size))  # logits (embedding^T)
+    return sorted(shapes)
+
+
+def tune_model(config, kinds=("sfp",), batch_sizes=(16, 256),
+               verbose: bool = True) -> None:
+    """Sweep every GEMM shape of one model (the gemma_batch_bench warmup
+    analog, but persisted)."""
+    for kind in kinds:
+        for m, k, n in model_shapes(config, batch_sizes):
+            if verbose:
+                print(f"tuning {kind} M{m} K{k} N{n}")
+            autotune(m, k, n, kind, verbose=verbose)

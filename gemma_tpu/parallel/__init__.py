@@ -1,0 +1,29 @@
+"""Multi-chip parallelism (replaces util/threading* — SURVEY.md §2.7).
+
+The reference scales with a two-level thread-pool hierarchy over CCX
+clusters and shared memory (util/threading.h:87-183).  The TPU-native
+equivalent here is a `jax.sharding.Mesh` over ICI with explicit
+`shard_map` + collectives:
+
+  - `mesh.py`:  device mesh construction ("data" × "model" axes).
+  - `tp.py`:    Megatron-style tensor parallelism for the transformer —
+                weights row/col-sharded over the "model" axis, two psums per
+                layer, vocab-sharded embedding; batch sharded over "data".
+"""
+
+from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
+from gemma_tpu.parallel.tp import (
+    build_tp_step,
+    shard_cache,
+    shard_params,
+    tp_layout,
+)
+
+__all__ = [
+    "make_mesh",
+    "pick_mesh_shape",
+    "build_tp_step",
+    "shard_params",
+    "shard_cache",
+    "tp_layout",
+]

@@ -1,0 +1,303 @@
+"""Megatron-style tensor parallelism over the "model" mesh axis.
+
+Replaces the reference's intra-op parallelism (GEMM N-dim split across CCX
+clusters, ops/matmul.h:157-260) with weight sharding over ICI + explicit
+collectives inside `jax.shard_map`:
+
+  per layer (2 psums, the standard Megatron schedule):
+    qkv1/qkv2   row-sharded   -> local Q/K/V heads, no comm
+    attention   head-local    -> no comm (KV cache kv_heads-sharded)
+    att_w       col-sharded   -> partial [*, model_dim], psum
+    gating1/2   row-sharded   -> local ff_hidden halves, no comm
+    linear      col-sharded   -> partial [*, model_dim], psum
+  embedding     vocab-row-sharded: masked local lookup + psum on embed;
+                local logits slice + all_gather on the final matmul.
+
+Batch ("data" axis) shards queries and the KV cache; no weight traffic.
+
+Everything inside the shard_map body is *local*, so the dequant-fused
+Pallas kernels (ops/matmul.py) run unchanged on each chip's weight shard —
+quantized bytes never cross ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
+from gemma_tpu.models.gemma import LayerParams, Params, embed_tokens
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.ops import ops
+from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
+from gemma_tpu.ops.matmul import QuantTensor, matmul
+
+# KV cache layout: [batch, layers, seq, 2, kv_heads, qkv_dim]
+CACHE_SPEC = P("data", None, None, None, "model", None)
+
+
+def _qt_spec(qt: QuantTensor, dim: int | None) -> QuantTensor:
+    """A QuantTensor whose 'arrays' hold PartitionSpecs (same pytree shape).
+
+    dim=0 shards the logical N (rows), dim=1 the logical K (columns, i.e.
+    axis 1 of every per-element array and the group axis of metadata),
+    dim=None replicates.
+    """
+    arrays = {}
+    for k, a in qt.arrays.items():
+        if dim is None:
+            arrays[k] = P()
+        elif dim == 0:
+            arrays[k] = P("model", *([None] * (a.ndim - 1)))
+        else:
+            arrays[k] = P(None, "model", *([None] * (a.ndim - 2)))
+    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays)
+
+
+def _check_col_shard(qt: QuantTensor, tp: int, what: str) -> None:
+    k_local = qt.k // tp
+    group = {"nuq4": 256, "i8": 128}.get(qt.kind)
+    assert qt.k % tp == 0, f"{what}: K={qt.k} not divisible by tp={tp}"
+    if group:
+        assert k_local % group == 0, (
+            f"{what}: local K={k_local} must cover whole {group}-groups"
+        )
+
+
+def tp_layout(params: Params, config: ModelConfig, tp: int) -> Params:
+    """PartitionSpec pytree matching `params` (Megatron layout above)."""
+    lc = config.layer_configs[0]
+    assert lc.heads % tp == 0, (lc.heads, tp)
+    assert lc.kv_heads % tp == 0, (lc.kv_heads, tp)
+    assert lc.ff_hidden_dim % tp == 0, (lc.ff_hidden_dim, tp)
+    assert config.vocab_size % tp == 0, (config.vocab_size, tp)
+
+    layers = []
+    for lp in params.layers:
+        _check_col_shard(lp.att_w, tp, "att_w")
+        _check_col_shard(lp.linear, tp, "linear")
+        layers.append(
+            LayerParams(
+                qkv1=_qt_spec(lp.qkv1, 0),
+                qkv2=_qt_spec(lp.qkv2, 0),
+                att_w=_qt_spec(lp.att_w, 1),
+                gating1=_qt_spec(lp.gating1, 0),
+                gating2=_qt_spec(lp.gating2, 0),
+                linear=_qt_spec(lp.linear, 1),
+                pre_att_norm=P(),
+                pre_ffw_norm=P(),
+                post_att_norm=None if lp.post_att_norm is None else P(),
+                post_ffw_norm=None if lp.post_ffw_norm is None else P(),
+                key_norm=None if lp.key_norm is None else P(),
+                query_norm=None if lp.query_norm is None else P(),
+            )
+        )
+    return Params(
+        embedding=_qt_spec(params.embedding, 0),
+        final_norm=P(),
+        layers=layers,
+    )
+
+
+def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
+    """device_put every leaf with its NamedSharding (weights land already
+    sharded — the AllocateAndBindAll analog, gemma/weights.cc:521-547)."""
+    specs = tp_layout(params, config, mesh.shape["model"])
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    kv = jax.device_put(cache.kv, NamedSharding(mesh, CACHE_SPEC))
+    return KVCache(kv)
+
+
+def _localize(qt: QuantTensor) -> QuantTensor:
+    """Fix up the static (N, K) aux to the *local* shard shape.
+
+    shard_map slices the arrays but cannot rewrite pytree aux data, and the
+    Pallas matmul trusts qt.shape for padding — so re-derive it from the
+    per-element array, which is [N, K] for every codec.
+    """
+    key = "w" if "w" in qt.arrays else "codes"
+    n, k = qt.arrays[key].shape
+    return QuantTensor(qt.kind, (int(n), int(k)), qt.scale, qt.arrays)
+
+
+def _localize_params(params: Params) -> Params:
+    layers = [
+        dataclasses.replace(
+            lp,
+            qkv1=_localize(lp.qkv1),
+            qkv2=_localize(lp.qkv2),
+            att_w=_localize(lp.att_w),
+            gating1=_localize(lp.gating1),
+            gating2=_localize(lp.gating2),
+            linear=_localize(lp.linear),
+        )
+        for lp in params.layers
+    ]
+    return dataclasses.replace(
+        params, embedding=_localize(params.embedding), layers=layers
+    )
+
+
+def _tp_forward_local(
+    params: Params,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+    prefix_end: jnp.ndarray,
+    kv: jnp.ndarray,
+    *,
+    config: ModelConfig,
+    tp: int,
+    return_logits: str,
+) -> tuple[jnp.ndarray | None, jnp.ndarray]:
+    """The shard_map body: everything here sees local shards."""
+    params = _localize_params(params)
+    lc = config.layer_configs[0]
+    b, t = tokens.shape
+    model_dim = config.model_dim
+    midx = jax.lax.axis_index("model")
+    cache = KVCache(kv)
+
+    # --- vocab-sharded embedding: masked local lookup + psum ---
+    vocab_local = config.vocab_size // tp
+    local_tok = tokens - midx * vocab_local
+    in_range = (local_tok >= 0) & (local_tok < vocab_local)
+    clamped = jnp.clip(local_tok, 0, vocab_local - 1)
+    x = embed_tokens(params.embedding, clamped, model_dim)
+    x = jnp.where(in_range[..., None], x, 0.0)
+    x = jax.lax.psum(x, "model")
+
+    half_rope = lc.post_qk == PostQKType.HALF_ROPE
+    inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
+    from gemma_tpu.models.configs import PromptWrapping
+
+    inv_ts_g = None
+    if config.wrapping == PromptWrapping.GEMMA_VLM:
+        inv_ts_g = jnp.asarray(
+            ops.create_inv_timescale(lc.qkv_dim, half_rope, base_frequency=1e6)
+        )
+
+    heads_l = lc.heads // tp
+    kvh_l = lc.kv_heads // tp
+    qkv_dim = lc.qkv_dim
+    query_scale = config.query_scale_value()
+
+    for layer_idx, layer in enumerate(params.layers):
+        lci = config.layer_configs[layer_idx]
+        is_global = config.is_global_layer(layer_idx)
+        ts = inv_ts_g if (is_global and inv_ts_g is not None) else inv_ts
+
+        # attention (local heads)
+        x_norm = ops.rms_norm(x, layer.pre_att_norm).reshape(b * t, model_dim)
+        x_bf = x_norm.astype(jnp.bfloat16)
+        q = matmul(x_bf, layer.qkv1, out_dtype=jnp.float32)
+        kv_proj = matmul(x_bf, layer.qkv2, out_dtype=jnp.float32)
+        q = q.reshape(b, t, heads_l, qkv_dim)
+        kv_proj = kv_proj.reshape(b, t, kvh_l, 2, qkv_dim)
+        k, v = kv_proj[..., 0, :], kv_proj[..., 1, :]
+
+        if lci.use_qk_norm and layer.key_norm is not None:
+            k = ops.rms_norm(k, layer.key_norm)
+        k = _pos_encode(k, positions, ts, 1.0, lci.post_qk)
+        if lci.use_qk_norm and layer.query_norm is not None:
+            q = ops.rms_norm(q, layer.query_norm)
+        q = _pos_encode(q, positions, ts, query_scale, lci.post_qk)
+
+        cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
+                             v.astype(cache.kv.dtype), valid=valid)
+
+        window = config.attention_window_sizes[layer_idx]
+        mask = attention_mask(positions, cache.seq_len, window, prefix_end)
+        k_cache = cache.kv[:, layer_idx, : cache.seq_len, 0]
+        v_cache = cache.kv[:, layer_idx, : cache.seq_len, 1]
+        att = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
+                                       att_cap=config.att_cap)
+        att = att.reshape(b * t, heads_l * qkv_dim).astype(jnp.bfloat16)
+        att_sums = matmul(att, layer.att_w, out_dtype=jnp.float32)
+        att_sums = jax.lax.psum(att_sums, "model").reshape(b, t, model_dim)
+
+        if lci.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
+            att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
+        x = x + att_sums
+
+        # FFN (local ff_hidden slice)
+        y = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
+        y_bf = y.astype(jnp.bfloat16)
+        c1 = matmul(y_bf, layer.gating1, out_dtype=jnp.float32)
+        c2 = matmul(y_bf, layer.gating2, out_dtype=jnp.float32)
+        act = (ops.gelu(c1) * c2).astype(jnp.bfloat16)
+        ffw = matmul(act, layer.linear, out_dtype=jnp.float32)
+        ffw = jax.lax.psum(ffw, "model").reshape(b, t, model_dim)
+        if lci.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
+            ffw = ops.rms_norm(ffw, layer.post_ffw_norm)
+        x = x + ffw
+
+    if return_logits == "none":
+        return cache.kv
+    if return_logits == "last":
+        x = x[:, -1:, :]
+    x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
+    bt = x_bf.shape[0] * x_bf.shape[1]
+    logits_local = matmul(x_bf.reshape(bt, model_dim), params.embedding,
+                          out_dtype=jnp.float32)
+    logits = jax.lax.all_gather(logits_local, "model", axis=1, tiled=True)
+    logits = ops.soft_cap(config.final_cap, logits)
+    logits = logits.reshape(x_bf.shape[0], x_bf.shape[1], -1)
+    if return_logits == "last":
+        return logits[:, 0], cache.kv
+    return logits, cache.kv
+
+
+def _pos_encode(x, positions, inv_timescale, mul, post_qk):
+    pos = positions[..., None]
+    if post_qk == PostQKType.HALF_ROPE:
+        return ops.half_rope(x, pos, inv_timescale, mul)
+    return ops.rope(x, pos, inv_timescale, mul)
+
+
+def build_tp_step(
+    params: Params,
+    config: ModelConfig,
+    mesh: Mesh,
+    return_logits: str = "last",
+):
+    """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
+    kv) -> (logits, kv) — or just kv when return_logits == "none" (prefill).
+    `params`/`kv` must be sharded with `shard_params`/`shard_cache`;
+    tokens/positions/valid are [B, T] with B divisible by the data axis.
+    """
+    tp = mesh.shape["model"]
+    specs = tp_layout(params, config, tp)
+    body = functools.partial(
+        _tp_forward_local, config=config, tp=tp, return_logits=return_logits
+    )
+    if return_logits == "none":
+        out_specs: Any = CACHE_SPEC
+    else:
+        out_specs = (P("data", None), CACHE_SPEC)
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            specs,
+            P("data", None),
+            P("data", None),
+            P("data", None),
+            P("data"),
+            CACHE_SPEC,
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(f)

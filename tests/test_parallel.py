@@ -1,0 +1,137 @@
+"""Tensor-parallel forward vs the single-device forward (8 CPU devices).
+
+The oracle is the already-oracle-verified models/gemma.py forward: the TP
+path must produce identical logits (up to collective reduction order) on a
+2x4 (data x model) mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemma_tpu.models.configs import (
+    LayerConfig,
+    Model,
+    ModelConfig,
+    PostNormType,
+    QueryScaleType,
+)
+from gemma_tpu.compression import Type
+from gemma_tpu.models.gemma import forward
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.parallel import (
+    build_tp_step,
+    make_mesh,
+    pick_mesh_shape,
+    shard_cache,
+    shard_params,
+)
+from gemma_tpu.utils.synth import synth_params
+
+
+def tp_config(num_layers=2, window=None):
+    model_dim, heads, kv_heads, qkv_dim, ff = 64, 8, 4, 32, 256
+    lc = LayerConfig(
+        model_dim=model_dim,
+        ff_hidden_dim=ff,
+        heads=heads,
+        kv_heads=kv_heads,
+        qkv_dim=qkv_dim,
+        post_norm=PostNormType.SCALE,
+    )
+    c = ModelConfig(
+        model=Model.GEMMA2_2B,
+        model_dim=model_dim,
+        vocab_size=512,
+        max_seq_len=64,
+        num_layers=num_layers,
+        att_cap=50.0,
+        final_cap=30.0,
+        query_scale=QueryScaleType.SQRT_KEY_SIZE,
+        weight=Type.F32,
+    )
+    c.layer_configs = [lc for _ in range(num_layers)]
+    c.attention_window_sizes = [window or c.max_seq_len] * num_layers
+    return c
+
+
+def test_pick_mesh_shape():
+    c = tp_config()
+    assert pick_mesh_shape(8, c) == (2, 4)
+    assert pick_mesh_shape(4, c) == (1, 4)
+    assert pick_mesh_shape(1, c) == (1, 1)
+
+
+@pytest.mark.parametrize("kind", ["f32", "sfp"])
+def test_tp_matches_single_device(kind):
+    config = tp_config()
+    params = synth_params(config, kind=kind, seed=3)
+    batch, t, seq_len = 4, 8, 32
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, config.vocab_size, (batch, t)).astype(np.int32)
+    positions = np.tile(np.arange(t, dtype=np.int32), (batch, 1))
+    valid = np.ones((batch, t), bool)
+    prefix_end = np.zeros((batch,), np.int32)
+
+    # Single-device reference.
+    cache = KVCache.create(config, batch, seq_len)
+    ref_logits, ref_cache = forward(
+        params, jnp.asarray(tokens), jnp.asarray(positions), cache, config,
+        return_logits="last", valid=jnp.asarray(valid),
+    )
+
+    # Sharded run on the 2x4 mesh.
+    mesh = make_mesh(8, config)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    p_sh = shard_params(params, config, mesh)
+    kv_sh = shard_cache(KVCache.create(config, batch, seq_len), mesh)
+    step = build_tp_step(p_sh, config, mesh, return_logits="last")
+    tp_logits, tp_kv = step(
+        p_sh, jnp.asarray(tokens), jnp.asarray(positions),
+        jnp.asarray(valid), jnp.asarray(prefix_end), kv_sh.kv,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_kv), np.asarray(ref_cache.kv), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_tp_decode_after_prefill():
+    """Prefill then one decode step, all sharded; vs single-device."""
+    config = tp_config(num_layers=1, window=16)
+    params = synth_params(config, kind="f32", seed=7)
+    batch, t, seq_len = 2, 6, 32
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, config.vocab_size, (batch, t)).astype(np.int32)
+    positions = np.tile(np.arange(t, dtype=np.int32), (batch, 1))
+    valid = np.ones((batch, t), bool)
+    pe = np.zeros((batch,), np.int32)
+
+    cache = KVCache.create(config, batch, seq_len)
+    _, cache = forward(params, jnp.asarray(tokens), jnp.asarray(positions),
+                       cache, config, return_logits="none",
+                       valid=jnp.asarray(valid))
+    next_tok = tokens[:, -1:] * 0 + 5
+    next_pos = np.full((batch, 1), t, np.int32)
+    ref_logits, _ = forward(params, jnp.asarray(next_tok),
+                            jnp.asarray(next_pos), cache, config,
+                            return_logits="last")
+
+    mesh = make_mesh(8, config)
+    p_sh = shard_params(params, config, mesh)
+    kv = shard_cache(KVCache.create(config, batch, seq_len), mesh).kv
+    prefill = build_tp_step(p_sh, config, mesh, return_logits="none")
+    decode = build_tp_step(p_sh, config, mesh, return_logits="last")
+    kv = prefill(p_sh, jnp.asarray(tokens), jnp.asarray(positions),
+                 jnp.asarray(valid), jnp.asarray(pe), kv)
+    tp_logits, _ = decode(p_sh, jnp.asarray(next_tok), jnp.asarray(next_pos),
+                          jnp.ones((batch, 1), bool), jnp.asarray(pe), kv)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )

@@ -97,8 +97,10 @@ class ModelStore:
     """Reads config/tokenizer/TOC from a BlobReader (gemma/model_store.h:50)."""
 
     def __init__(self, reader: BlobReader,
-                 wrapping: PromptWrapping | None = None):
+                 wrapping: PromptWrapping | None = None,
+                 tokenizer_path: str | None = None):
         self.reader = reader
+        self.tokenizer_path = tokenizer_path
         self.config = self._read_config(wrapping)
         self.tensors: dict[str, TensorRecord] = {}
         if not self._read_toc():
@@ -140,6 +142,9 @@ class ModelStore:
     def tokenizer_bytes(self) -> bytes:
         if TOKENIZER_KEY in self.reader:
             return self.reader.read(TOKENIZER_KEY).tobytes()
+        if self.tokenizer_path:  # pre-2025: separate tokenizer file
+            with open(self.tokenizer_path, "rb") as f:
+                return f.read()
         return MOCK_TOKENIZER.encode()
 
     # --- TOC ---

@@ -253,6 +253,40 @@ def forward(
     return logits, cache
 
 
+def forward_collect(
+    params: Params,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    config: ModelConfig,
+) -> tuple[jnp.ndarray, KVCache, dict]:
+    """Forward pass that also returns per-layer activations (the observer
+    hooks LayersOutputFunc/ActivationsObserverFunc, gemma/gemma.cc:64-66 +
+    evals/debug_prompt.cc).  Keys follow the reference's dump: "tokens",
+    "blocks.<i>" (post-layer residual), "final_norm", "logits"."""
+    collected: dict = {"tokens": tokens}
+    b, t = tokens.shape
+    lc = config.layer_configs[0]
+    x = embed_tokens(params.embedding, tokens, config.model_dim)
+    if config.absolute_pe:
+        x = x + _absolute_pe(positions, config.model_dim)
+    collected["embedding"] = x
+    half_rope = lc.post_qk == PostQKType.HALF_ROPE
+    inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
+    for layer_idx, layer in enumerate(params.layers):
+        x, cache = transformer_layer(
+            layer, layer_idx, x, positions, cache, config, 0, inv_ts, None,
+        )
+        collected[f"blocks.{layer_idx}"] = x
+    x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
+    collected["final_norm"] = x_bf.astype(jnp.float32)
+    logits = matmul(x_bf.reshape(b * t, config.model_dim), params.embedding,
+                    out_dtype=jnp.float32)
+    logits = ops.soft_cap(config.final_cap, logits).reshape(b, t, -1)
+    collected["logits"] = logits
+    return logits, cache, collected
+
+
 def _absolute_pe(positions: jnp.ndarray, model_dim: int) -> jnp.ndarray:
     """AddAbsolutePositionalEmbeddings (ops-inl.h:316-330)."""
     half = model_dim // 2

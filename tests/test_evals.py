@@ -1,0 +1,114 @@
+"""Evals layer tests on the tiny on-disk model."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from gemma_tpu.evals.benchmark_helper import GemmaEnv, QueryResult
+from gemma_tpu.evals.cross_entropy import compute_cross_entropy
+from gemma_tpu.gemma import Gemma
+
+from tests.test_frontends import tiny_model_file
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    path = tiny_model_file(tmp_path_factory.mktemp("model"))
+    g = Gemma.load(path)
+    g.runtime.seq_len = 64
+    g.runtime.prefill_tbatch_size = 16
+    g.runtime.max_generated_tokens = 4
+    return GemmaEnv(g)
+
+
+def naive_cross_entropy(params, config, prompt):
+    """One-token-at-a-time oracle mirroring cross_entropy.cc exactly."""
+    import jax.numpy as jnp
+
+    from gemma_tpu.models.gemma import forward
+    from gemma_tpu.models.kv_cache import KVCache
+
+    total = math.log(config.vocab_size)
+    cache = KVCache.create(config, 1, 32)
+    for pos in range(len(prompt) - 1):
+        tokens = jnp.asarray([[prompt[pos]]], jnp.int32)
+        positions = jnp.asarray([[pos]], jnp.int32)
+        logits, cache = forward(params, tokens, positions, cache, config,
+                                return_logits="last")
+        row = np.asarray(logits[0], np.float32)
+        e = np.exp(row - row.max())
+        p = float((e / e.sum())[prompt[pos + 1]])
+        total -= max(math.log(p), -64.0)
+    return total / math.log(2.0)
+
+
+def test_cross_entropy_matches_naive(env):
+    g = env.gemma
+    prompt = env.tokenize_and_prepend_bos("hello world hello")
+    fast = compute_cross_entropy(g.params, g.config, prompt, chunk_size=4)
+    slow = naive_cross_entropy(g.params, g.config, prompt)
+    assert fast == pytest.approx(slow, rel=1e-3)
+    # Sanity: positive, finite, bounded by the -64-nat clamp per token.
+    per_token = fast / len(prompt)
+    assert 0.0 < per_token < 64.0 / math.log(2.0)
+
+
+def test_env_cross_entropy_normalizes_by_bytes(env):
+    text = "hello world"
+    bits_per_byte = env.cross_entropy(text)
+    prompt = env.tokenize_and_prepend_bos(text)
+    total = compute_cross_entropy(env.gemma.params, env.gemma.config, prompt)
+    assert bits_per_byte == pytest.approx(total / len(text), rel=1e-6)
+
+
+def test_query_model(env):
+    result = env.query_model("hello", max_generated_tokens=3)
+    assert isinstance(result, QueryResult)
+    assert result.response_start_pos == len(env.wrap_and_tokenize("hello"))
+    assert result.tokens_generated <= 3
+
+
+def test_batch_query_model(env):
+    results = env.batch_query_model(["hello", "world"],
+                                    max_generated_tokens=2)
+    assert len(results) == 2
+    assert all(r.tokens_generated <= 2 for r in results)
+
+
+def test_mmlu_accept_tokens(env):
+    from gemma_tpu.evals.run_mmlu import accept_token_set
+
+    accept = accept_token_set(env.gemma.tokenizer)
+    assert accept  # non-empty
+    out = env.gemma.generate(
+        env.wrap_and_tokenize("hello"), max_generated_tokens=2,
+        accept_token=lambda tok, logit: tok in accept,
+    )
+    assert all(t in accept or env.gemma.config.is_eos(t) for t in out)
+
+
+def test_debug_prompt_collect(env, tmp_path):
+    import jax.numpy as jnp
+
+    from gemma_tpu.models.gemma import forward_collect
+    from gemma_tpu.models.kv_cache import KVCache
+
+    g = env.gemma
+    prompt = env.tokenize_and_prepend_bos("hello")
+    cache = KVCache.create(g.config, 1, 16)
+    tokens = jnp.asarray(prompt, jnp.int32)[None, :]
+    positions = jnp.arange(len(prompt), dtype=jnp.int32)[None, :]
+    logits, _, collected = forward_collect(g.params, tokens, positions, cache,
+                                           g.config)
+    assert "blocks.0" in collected and "logits" in collected
+    assert collected["logits"].shape == (1, len(prompt), g.config.vocab_size)
+    # logits from forward_collect must match the normal forward
+    from gemma_tpu.models.gemma import forward
+
+    cache2 = KVCache.create(g.config, 1, 16)
+    ref, _ = forward(g.params, tokens, positions, cache2, g.config,
+                     return_logits="all")
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -67,18 +67,33 @@ class GemmaEngine:
 
     # --- jitted steps ---
 
-    def _prefill_fn(self, batch: int, chunk: int):
-        key = (batch, chunk)
+    def _prefill_fn(self, batch: int, chunk: int, with_image: bool = False):
+        key = (batch, chunk, with_image)
         if key not in self._prefill_fns:
             config = self.config
 
-            @jax.jit
-            def step(params, tokens, positions, valid, prefix_end, cache):
-                _, cache = forward(
-                    params, tokens, positions, cache, config,
-                    prefix_end=prefix_end, return_logits="none", valid=valid,
-                )
-                return cache
+            if with_image:
+
+                @jax.jit
+                def step(params, tokens, positions, valid, prefix_end, cache,
+                         image_embeddings, image_slot_mask):
+                    _, cache = forward(
+                        params, tokens, positions, cache, config,
+                        prefix_end=prefix_end, return_logits="none",
+                        valid=valid, image_embeddings=image_embeddings,
+                        image_slot_mask=image_slot_mask,
+                    )
+                    return cache
+            else:
+
+                @jax.jit
+                def step(params, tokens, positions, valid, prefix_end, cache):
+                    _, cache = forward(
+                        params, tokens, positions, cache, config,
+                        prefix_end=prefix_end, return_logits="none",
+                        valid=valid,
+                    )
+                    return cache
 
             self._prefill_fns[key] = step
         return self._prefill_fns[key]
@@ -117,15 +132,39 @@ class GemmaEngine:
 
         Maps PrefillTBatch (gemma.cc:188-283): chunked over
         prefill_tbatch_size, one query at a time when lengths are ragged.
+
+        image_embeddings: [n_img, model_dim] ImageTokens; spliced into the
+        embedding stream at -2 placeholders (Gemma3 VLM) or at positions
+        < n_img (PaliGemma prefix) — EmbedMMToken, gemma.cc:144-157.
         """
+        from gemma_tpu.models.configs import PromptWrapping
+
         batch = len(prompts)
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
         chunk_size = self.runtime.prefill_tbatch_size
 
+        img = None
+        if image_embeddings is not None:
+            img = jnp.asarray(image_embeddings, jnp.float32)
+        is_pali = self.config.wrapping == PromptWrapping.PALIGEMMA
+
         for qi, prompt in enumerate(prompts):
             prompt = list(prompt)
             assert prompt, "prompts must be non-empty"
+            # Map prompt position -> image row (or -1).  -2 placeholders are
+            # replaced by token 0 for the (masked-out) embedding lookup.
+            img_row = [-1] * len(prompt)
+            if img is not None:
+                n_img = img.shape[0]
+                seen = 0
+                for i, t in enumerate(prompt):
+                    if t == -2:
+                        img_row[i] = seen
+                        seen += 1
+                        prompt[i] = 0
+                    elif is_pali and start_pos[qi] + i < n_img:
+                        img_row[i] = start_pos[qi] + i
             # Attend to the last token too when it is inside the prefix
             # (gemma.cc:219-232).
             n_prefill = len(prompt) - 1
@@ -145,10 +184,23 @@ class GemmaEngine:
                 valid[qi, :n] = True
                 pe = np.zeros((batch,), np.int32)
                 pe[qi] = prefix_end[qi]
-                step = self._prefill_fn(batch, chunk_size)
-                cache = step(self.params, jnp.asarray(tokens),
-                             jnp.asarray(positions), jnp.asarray(valid),
-                             jnp.asarray(pe), cache)
+                args = [self.params, jnp.asarray(tokens),
+                        jnp.asarray(positions), jnp.asarray(valid),
+                        jnp.asarray(pe), cache]
+                with_image = img is not None and any(
+                    r >= 0 for r in img_row[done : done + n])
+                if with_image:
+                    rows = np.zeros((batch, chunk_size), np.int32)
+                    mask = np.zeros((batch, chunk_size), bool)
+                    for i in range(n):
+                        r = img_row[done + i]
+                        if r >= 0:
+                            rows[qi, i] = r
+                            mask[qi, i] = True
+                    emb = img[jnp.asarray(rows)]  # [batch, chunk, model_dim]
+                    args += [emb, jnp.asarray(mask)]
+                step = self._prefill_fn(batch, chunk_size, with_image)
+                cache = step(*args)
                 if stream_token is not None:
                     for i, tok in enumerate(chunk):
                         if done + i < len(prompt) - 1:
@@ -168,6 +220,7 @@ class GemmaEngine:
         start_pos: int = 0,
         prefix_end: int = 0,
         timing_info: TimingInfo | None = None,
+        image_embeddings=None,
     ) -> list[int]:
         """Single-query generation (Gemma::Generate, gemma.cc:663-674)."""
         outs = self.generate_batch(
@@ -179,6 +232,7 @@ class GemmaEngine:
             start_pos=[start_pos],
             prefix_end=[prefix_end],
             timing_info=timing_info,
+            image_embeddings=image_embeddings,
         )
         return outs[0]
 
@@ -192,6 +246,7 @@ class GemmaEngine:
         start_pos: Sequence[int] | None = None,
         prefix_end: Sequence[int] | None = None,
         timing_info: TimingInfo | None = None,
+        image_embeddings=None,
     ) -> list[list[int]]:
         """Batched generation with EOS tracking (GenerateT, gemma.cc:488-568)."""
         rt = self.runtime
@@ -206,7 +261,8 @@ class GemmaEngine:
         prefix_end = list(prefix_end or [0] * batch)
 
         cache, last_tokens = self.prefill(prompts, cache, start_pos,
-                                          prefix_end, stream_token)
+                                          prefix_end, stream_token,
+                                          image_embeddings=image_embeddings)
         timing.notify_prefill(sum(len(p) - 1 for p in prompts))
 
         # Stream the last prompt token (gemma.cc:540-554).

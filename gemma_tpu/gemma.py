@@ -54,6 +54,11 @@ class Gemma:
         store = ModelStore(reader, tokenizer_path=tokenizer_path,
                            wrapping=wrapping)
         params = load_params(store, kind_override=kind_override)
+        if store.config.vit_config.layer_configs and \
+                "img_emb_kernel" in store.tensors:
+            from gemma_tpu.models.vit import load_vit_params
+
+            params.vit = load_vit_params(store, kind_override)
         tokenizer = GemmaTokenizer(store.tokenizer_bytes())
         return cls(store.config, params, tokenizer, runtime, store)
 

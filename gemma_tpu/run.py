@@ -137,6 +137,7 @@ def repl(gemma, inference: InferenceArgs) -> None:
         gemma.engine.generate(
             prompt, stream_token=stream_token, cache=cache,
             start_pos=abs_pos, prefix_end=prefix_end, timing_info=timing,
+            image_embeddings=image_tokens,
         )
         abs_pos = state["abs_pos"]
         print("\n")

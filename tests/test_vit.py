@@ -1,0 +1,224 @@
+"""ViT encoder vs an independent numpy oracle + image utilities."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gemma_tpu.models.configs import (
+    LayerConfig,
+    LayerAttentionType,
+    Model,
+    ModelConfig,
+    PromptWrapping,
+    QueryScaleType,
+)
+from gemma_tpu.compression import Type
+from gemma_tpu.models.vit import (
+    VitLayerParams,
+    VitParams,
+    prefill_vit,
+)
+from gemma_tpu.ops.matmul import QuantTensor
+from gemma_tpu.paligemma.image import Image
+
+
+def tiny_vit_config(wrapping=PromptWrapping.PALIGEMMA):
+    c = ModelConfig(
+        model=Model.PALIGEMMA2_3B_224, model_dim=48, vocab_size=64,
+        max_seq_len=64, num_layers=1, wrapping=wrapping,
+        query_scale=QueryScaleType.SQRT_KEY_SIZE, weight=Type.F32,
+    )
+    c.layer_configs = [LayerConfig(model_dim=48, ff_hidden_dim=96, heads=2,
+                                   kv_heads=1, qkv_dim=16)]
+    c.attention_window_sizes = [64]
+    c.vit_config.model_dim = 32
+    c.vit_config.patch_width = 4
+    c.vit_config.image_size = 16
+    c.vit_config.seq_len = 16  # (16/4)^2
+    c.vit_config.pool_dim = 1
+    c.vit_config.layer_configs = [
+        LayerConfig(model_dim=32, ff_hidden_dim=64, heads=2, kv_heads=2,
+                    qkv_dim=8, ff_biases=True,
+                    type=LayerAttentionType.VIT)
+        for _ in range(2)
+    ]
+    return c
+
+
+def make_vit_params(config, rng):
+    vc = config.vit_config
+    d = vc.model_dim
+    lc = vc.layer_configs[0]
+    h, q, ff = lc.heads, lc.qkv_dim, lc.ff_hidden_dim
+    patch = vc.patch_width * vc.patch_width * 3
+
+    def qt(*shape):
+        a = rng.normal(0, 0.3, shape).astype(np.float32)
+        return QuantTensor("f32", a.shape, 1.0, {"w": jnp.asarray(a)})
+
+    def vec(n, sigma=0.1):
+        return jnp.asarray(rng.normal(0, sigma, (n,)).astype(np.float32))
+
+    layers = [
+        VitLayerParams(
+            qkv_w=qt(h * 3 * q, d), qkv_b=vec(h * 3 * q),
+            attn_out_w=qt(d, h * q), attn_out_b=vec(d),
+            linear_0_w=qt(ff, d), linear_0_b=vec(ff),
+            linear_1_w=qt(d, ff), linear_1_b=vec(d),
+            ln_0_scale=vec(d), ln_0_bias=vec(d),
+            ln_1_scale=vec(d), ln_1_bias=vec(d),
+        )
+        for _ in range(len(vc.layer_configs))
+    ]
+    return VitParams(
+        img_emb_kernel=qt(d, patch), img_emb_bias=vec(d),
+        img_pos_emb=jnp.asarray(
+            rng.normal(0, 0.1, (vc.seq_len, d)).astype(np.float32)),
+        enc_norm_scale=vec(d), enc_norm_bias=vec(d),
+        img_head_kernel=qt(config.model_dim, d),
+        img_head_bias=vec(config.model_dim),
+        layers=layers,
+        mm_embed_norm=vec(d),
+    )
+
+
+def np_layer_norm(x, scale, bias, eps=1e-6):
+    # Plain scale, not (1+scale) — ops-inl.h:286-313 LayerNorm.
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def np_gelu(x):
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def oracle_vit(vit, patches, config):
+    vc = config.vit_config
+    lc = vc.layer_configs[0]
+    h, q = lc.heads, lc.qkv_dim
+
+    def w(qt):
+        return np.asarray(qt.arrays["w"], np.float32)
+
+    x = patches @ w(vit.img_emb_kernel).T + np.asarray(vit.img_emb_bias)
+    x = x + np.asarray(vit.img_pos_emb)
+    for layer in vit.layers:
+        y = np_layer_norm(x, np.asarray(layer.ln_0_scale),
+                          np.asarray(layer.ln_0_bias))
+        qkv = y @ w(layer.qkv_w).T + np.asarray(layer.qkv_b)
+        qkv = qkv.reshape(-1, h, 3, q)
+        qh, kh, vh = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qh = qh / np.sqrt(q)
+        att = np.zeros((x.shape[0], h, q), np.float32)
+        for head in range(h):
+            scores = qh[:, head] @ kh[:, head].T
+            att[:, head] = np_softmax(scores) @ vh[:, head]
+        x = x + (att.reshape(x.shape[0], h * q) @ w(layer.attn_out_w).T
+                 + np.asarray(layer.attn_out_b))
+        y = np_layer_norm(x, np.asarray(layer.ln_1_scale),
+                          np.asarray(layer.ln_1_bias))
+        c1 = np_gelu(y @ w(layer.linear_0_w).T + np.asarray(layer.linear_0_b))
+        x = x + c1 @ w(layer.linear_1_w).T + np.asarray(layer.linear_1_b)
+    x = np_layer_norm(x, np.asarray(vit.enc_norm_scale),
+                      np.asarray(vit.enc_norm_bias))
+    if config.wrapping == PromptWrapping.GEMMA_VLM:
+        # AvgPool4x4 over the 4x4 patch grid then RMS norm.
+        n = int(np.sqrt(x.shape[0]))
+        grid = x.reshape(n, n, -1)
+        pooled = grid.reshape(n // 4, 4, n // 4, 4, -1).mean(axis=(1, 3))
+        x = pooled.reshape(-1, x.shape[-1])
+        rms = np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+        x = x / rms * (1.0 + np.asarray(vit.mm_embed_norm))
+    return x @ w(vit.img_head_kernel).T + np.asarray(vit.img_head_bias)
+
+
+@pytest.mark.parametrize("wrapping", [PromptWrapping.PALIGEMMA,
+                                      PromptWrapping.GEMMA_VLM])
+def test_vit_matches_oracle(wrapping):
+    rng = np.random.default_rng(0)
+    config = tiny_vit_config(wrapping)
+    vit = make_vit_params(config, rng)
+    img = Image.from_array(rng.integers(0, 256, (16, 16, 3)))
+    patches = img.patches(config.vit_config.patch_width)
+    got = np.asarray(prefill_vit(vit, jnp.asarray(patches), config))
+    want = oracle_vit(vit, patches.astype(np.float32), config)
+    expected_rows = 1 if wrapping == PromptWrapping.GEMMA_VLM else 16
+    assert got.shape == (expected_rows, config.model_dim)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_image_patches_raster_order():
+    data = np.arange(16 * 16 * 3).reshape(16, 16, 3).astype(np.float32)
+    img = Image(data)
+    patches = img.patches(4)
+    assert patches.shape == (16, 48)
+    np.testing.assert_array_equal(patches[0], data[:4, :4].reshape(-1))
+    np.testing.assert_array_equal(patches[1], data[:4, 4:8].reshape(-1))
+    np.testing.assert_array_equal(patches[4], data[4:8, :4].reshape(-1))
+    np.testing.assert_array_equal(img.get_patch(5, 4),
+                                  data[4:8, 4:8].reshape(-1))
+
+
+def test_ppm_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    path = tmp_path / "img.ppm"
+    with open(path, "wb") as f:
+        f.write(b"P6\n# comment\n6 8\n255\n")
+        f.write(raw.tobytes())
+    img = Image.read_ppm(str(path))
+    assert (img.height, img.width) == (8, 6)
+    np.testing.assert_allclose(img.data, raw / 255.0 * 2.0 - 1.0, atol=1e-6)
+    resized = img.resize(3, 4)
+    assert (resized.height, resized.width) == (4, 3)
+
+
+def test_engine_image_splice():
+    """-2 placeholders get image embeddings, verified against direct forward."""
+    import jax.numpy as jnp
+
+    from gemma_tpu.engine.engine import GemmaEngine, RuntimeConfig
+    from gemma_tpu.models.gemma import forward
+    from gemma_tpu.models.kv_cache import KVCache
+    from tests.test_model import random_weights, tiny_config, to_params
+
+    rng = np.random.default_rng(2)
+    config = tiny_config(num_layers=1)
+    config.wrapping = PromptWrapping.GEMMA_VLM
+    params = to_params(random_weights(config, rng), config)
+    engine = GemmaEngine(params, config,
+                         RuntimeConfig(seq_len=32, prefill_tbatch_size=8))
+
+    n_img = 3
+    img_emb = rng.normal(0, 0.5, (n_img, config.model_dim)).astype(np.float32)
+    prompt = [2, 5, -2, -2, -2, 7, 9]
+
+    cache = engine.new_cache(1, 32)
+    cache, last = engine.prefill([prompt], cache,
+                                 image_embeddings=img_emb)
+
+    # Direct forward with explicit splice mask over the same tokens.
+    tokens = np.array(prompt, np.int32)
+    mask = tokens == -2
+    tokens = np.where(mask, 0, tokens)
+    rows = np.zeros(len(prompt), np.int32)
+    rows[mask] = np.arange(n_img)
+    emb = img_emb[rows]
+    cache2 = KVCache.create(config, 1, 32)
+    _, cache2 = forward(
+        params, jnp.asarray(tokens[None, :-1]),
+        jnp.arange(len(prompt) - 1, dtype=jnp.int32)[None, :],
+        cache2, config, return_logits="none",
+        image_embeddings=jnp.asarray(emb[None, :-1]),
+        image_slot_mask=jnp.asarray(mask[None, :-1]),
+    )
+    got = np.asarray(cache.kv[:, :, : len(prompt) - 1])
+    want = np.asarray(cache2.kv[:, :, : len(prompt) - 1])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

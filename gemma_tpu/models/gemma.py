@@ -153,15 +153,30 @@ def transformer_layer(
         q = ops.rms_norm(q, layer.query_norm)
     q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
 
-    cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
-                         v.astype(cache.kv.dtype), valid=valid)
-
     window = config.attention_window_sizes[layer_idx]
-    mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-    k_cache = cache.kv[:, layer_idx, : cache.seq_len, 0]
-    v_cache = cache.kv[:, layer_idx, : cache.seq_len, 1]
-    att_out = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
-                                       att_cap=config.att_cap)
+    is_decode = (t == 1 and valid is None
+                 and isinstance(prefix_end, int) and prefix_end == 0)
+    if is_decode:
+        # Decode hot path: in-place Pallas row write + fused attention
+        # kernel on TPU (XLA fallback elsewhere) — ops/decode_attention.py.
+        from gemma_tpu.ops.decode_attention import (
+            decode_attention,
+            kv_write_decode,
+        )
+
+        cache = kv_write_decode(cache, layer_idx, positions,
+                                k.astype(cache.kv.dtype),
+                                v.astype(cache.kv.dtype), valid=valid)
+        att_out = decode_attention(cache, layer_idx, q, positions, window,
+                                   att_cap=config.att_cap)
+    else:
+        cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
+                             v.astype(cache.kv.dtype), valid=valid)
+        mask = attention_mask(positions, cache.seq_len, window, prefix_end)
+        k_cache = cache.k_layer(layer_idx)[:, :, : cache.seq_len]
+        v_cache = cache.v_layer(layer_idx)[:, :, : cache.seq_len]
+        att_out = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
+                                           att_cap=config.att_cap)
 
     att_out = att_out.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
     att_sums = matmul(att_out, layer.att_w, out_dtype=jnp.float32)

@@ -77,24 +77,33 @@ def dot_softmax_weighted_sum(
     """The DotSoftmaxWeightedSum analog (attention.cc:131-163), batched.
 
     q:        [B, T, heads, D] (already RoPE'd and scaled)
-    k_cache:  [B, S, kv_heads, D]
-    v_cache:  [B, S, kv_heads, D]
+    k_cache:  [B, kv_heads, S, D]
+    v_cache:  [B, kv_heads, S, D]
     mask:     [B, T, S] boolean
     returns:  [B, T, heads, D] f32
+
+    Dots run at the cache dtype (bf16 in production — MXU-native, and
+    numerically identical to the Pallas decode kernel; f32 caches, as the
+    tests use, keep full-precision dots), accumulating in f32.
     """
     b, t, heads, d = q.shape
-    kv_heads = k_cache.shape[2]
+    kv_heads = k_cache.shape[1]
     groups = heads // kv_heads
-    qg = q.reshape(b, t, kv_heads, groups, d).astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf)
+    # Round operands to the cache dtype (matching the Pallas kernel's MXU
+    # inputs), then accumulate in f32.  The f32 upcast keeps CPU XLA happy
+    # (it lacks a bf16 x bf16 -> f32 dot) without changing the products.
+    qg = (q.reshape(b, t, kv_heads, groups, d).astype(k_cache.dtype)
+          .astype(jnp.float32))
+    scores = jnp.einsum("btkgd,bksd->btkgs", qg,
+                        k_cache.astype(jnp.float32))
     if att_cap:
         scores = soft_cap_op(att_cap, scores)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
     # Exact softmax in f32 (ops-inl.h:1125-1171).
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    vf = v_cache.astype(jnp.float32)
-    out = jnp.einsum("btkgs,bskd->btkgd", probs, vf)
+    probs = ((e / jnp.sum(e, axis=-1, keepdims=True))
+             .astype(k_cache.dtype).astype(jnp.float32))
+    out = jnp.einsum("btkgs,bksd->btkgd", probs,
+                     v_cache.astype(jnp.float32))
     return out.reshape(b, t, heads, d)

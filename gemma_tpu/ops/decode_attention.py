@@ -1,0 +1,212 @@
+"""Pallas decode-phase attention + in-place KV row write.
+
+The decode step is HBM-bandwidth-bound on the KV cache: per layer it must
+read K and V once ([B, H, S, D] bf16 each) and write one new row.  XLA's
+batched-einsum lowering runs this ~4x off speed-of-light and its scatter
+copies the whole cache; these kernels run at ~85% of SOL (measured v5e)
+and write rows in place via input/output aliasing:
+
+  - `kv_write_decode`: grid (B,), read-modify-write of the 16-row tile
+    containing the target ring row; everything else aliases through
+    untouched.  Replaces DotSoftmaxWeightedSum's RowPtrs KV scatter
+    (gemma/attention.cc:264-283).
+  - `decode_attention`: grid (B,), one (batch, layer) program holds the
+    whole [H, S, D] K and V panels in VMEM, computes scores on the MXU,
+    applies soft-cap/ring-mask/softmax on the VPU, and the weighted-V
+    matmul back on the MXU.  Mirrors the single-token path of
+    flash_attention.cc / attention.cc:54-238 (numerically identical to
+    ops/attention.py's XLA path, which remains the fallback for prefill
+    and CPU).
+
+Ring/window/prefix semantics match ops/attention.py:attention_mask: a
+cache row s holds absolute position key_abs(s) = newest - ((newest mod S -
+s) mod S); attendable iff start <= key_abs <= newest and s < seq_len
+(the garbage row s == seq_len absorbs padded-slot writes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.3819763e38  # matches ops/attention.py masking
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-place KV row write (decode, T == 1).
+# ---------------------------------------------------------------------------
+
+
+def _kv_write_kernel(w: int, rows_ref, new_ref, kv_ref, o_ref):
+    b = pl.program_id(0)
+    sub = rows_ref[b] % w
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
+    new = new_ref[...][None, :, :, :, None, :]  # [1,1,2,H,1,D]
+    o_ref[...] = jnp.where(r == sub, new.astype(o_ref.dtype), kv_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("layer_idx",), donate_argnums=0)
+def _kv_write_pallas(kv, newkv, rows, layer_idx: int):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    w = 16  # bf16 sublane tile
+
+    kernel = functools.partial(_kv_write_kernel, w)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 2, h, d), lambda i, rows: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, rows: (i, layer_idx, 0, 0, rows[i] // w, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, rows: (i, layer_idx, 0, 0, rows[i] // w, 0),
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(rows, newkv, kv)
+
+
+def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
+                    use_pallas: bool | None = None):
+    """Write one ring row per query; returns the updated KVCache.
+
+    positions: [B, 1]; k, v: [B, 1, H, D].  In-place on TPU (the caller
+    must not reuse the old cache object — the engine never does).
+    """
+    from gemma_tpu.models.kv_cache import KVCache
+
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if not use_pallas:
+        return cache.update(layer_idx, positions, k, v, valid=valid)
+
+    rows = (positions[:, 0] % cache.seq_len).astype(jnp.int32)
+    if valid is not None:
+        rows = jnp.where(valid[:, 0], rows, cache.garbage_row)
+    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1).astype(cache.kv.dtype)
+    kv = _kv_write_pallas(cache.kv, newkv, rows, layer_idx)
+    return KVCache(kv, cache.seq_len)
+
+
+# ---------------------------------------------------------------------------
+# Decode attention (T == 1).
+# ---------------------------------------------------------------------------
+
+
+def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
+                       att_cap: float, s_alloc: int,
+                       pos_ref, q_ref, k_ref, v_ref, o_ref):
+    b = pl.program_id(0)
+    newest = pos_ref[b]
+    start = jnp.maximum(newest - (window - 1), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
+    key_abs = newest - ((newest % seq_len - s) % seq_len)
+    ok = (key_abs >= start) & (key_abs <= newest) & (s < seq_len)
+    for head in range(h):
+        qh = q_ref[0, head].astype(jnp.bfloat16)  # [G, D]
+        kh = k_ref[0, 0, 0, head]                 # [S, D]
+        vh = v_ref[0, 0, 0, head]
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+        if att_cap:
+            scores = att_cap * jnp.tanh(scores / att_cap)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / e.sum(axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        oh = jax.lax.dot_general(
+            probs, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, D]
+        o_ref[0, head * groups : (head + 1) * groups, :] = oh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap"),
+)
+def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
+                       window: int, att_cap: float):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = q.shape[2]
+
+    kernel = functools.partial(
+        _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, groups, d), lambda i, pos: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h * groups, d), lambda i, pos: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(pos, q, kv, kv)
+
+
+def decode_attention(cache, layer_idx: int, q, positions, window: int,
+                     att_cap: float = 0.0,
+                     use_pallas: bool | None = None) -> jnp.ndarray:
+    """Single-token attention over the ring cache.
+
+    q: [B, 1, heads, D] (RoPE'd and scaled); positions: [B, 1].
+    Returns [B, 1, heads, D] f32.
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    b, t, heads, d = q.shape
+    assert t == 1, "decode_attention is the T == 1 path"
+    kv_heads = cache.kv.shape[3]
+    groups = heads // kv_heads
+
+    if not use_pallas:
+        from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
+
+        mask = attention_mask(positions, cache.seq_len, window, 0)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((b, t, cache.s_alloc - cache.seq_len), bool)],
+            axis=-1,
+        )
+        return dot_softmax_weighted_sum(
+            q, cache.k_layer(layer_idx), cache.v_layer(layer_idx), mask,
+            att_cap=att_cap)
+
+    qk = q.reshape(b, kv_heads, groups, d)
+    out = _decode_att_pallas(
+        cache.kv, qk, positions[:, 0].astype(jnp.int32), layer_idx,
+        cache.seq_len, window, float(att_cap))
+    return out.reshape(b, 1, heads, d)

@@ -38,8 +38,8 @@ from gemma_tpu.ops import ops
 from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
 from gemma_tpu.ops.matmul import QuantTensor, matmul
 
-# KV cache layout: [batch, layers, seq, 2, kv_heads, qkv_dim]
-CACHE_SPEC = P("data", None, None, None, "model", None)
+# KV cache layout: [batch, layers, 2, kv_heads, s_alloc, qkv_dim]
+CACHE_SPEC = P("data", None, None, "model", None, None)
 
 
 def _qt_spec(qt: QuantTensor, dim: int | None) -> QuantTensor:
@@ -116,7 +116,7 @@ def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     kv = jax.device_put(cache.kv, NamedSharding(mesh, CACHE_SPEC))
-    return KVCache(kv)
+    return KVCache(kv, cache.seq_len)
 
 
 def _localize(qt: QuantTensor) -> QuantTensor:
@@ -160,6 +160,7 @@ def _tp_forward_local(
     config: ModelConfig,
     tp: int,
     return_logits: str,
+    seq_len: int,
 ) -> tuple[jnp.ndarray | None, jnp.ndarray]:
     """The shard_map body: everything here sees local shards."""
     params = _localize_params(params)
@@ -167,7 +168,7 @@ def _tp_forward_local(
     b, t = tokens.shape
     model_dim = config.model_dim
     midx = jax.lax.axis_index("model")
-    cache = KVCache(kv)
+    cache = KVCache(kv, seq_len)
 
     # --- vocab-sharded embedding: masked local lookup + psum ---
     vocab_local = config.vocab_size // tp
@@ -219,8 +220,8 @@ def _tp_forward_local(
 
         window = config.attention_window_sizes[layer_idx]
         mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-        k_cache = cache.kv[:, layer_idx, : cache.seq_len, 0]
-        v_cache = cache.kv[:, layer_idx, : cache.seq_len, 1]
+        k_cache = cache.k_layer(layer_idx)[:, :, : cache.seq_len]
+        v_cache = cache.v_layer(layer_idx)[:, :, : cache.seq_len]
         att = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
                                        att_cap=config.att_cap)
         att = att.reshape(b * t, heads_l * qkv_dim).astype(jnp.bfloat16)
@@ -271,16 +272,20 @@ def build_tp_step(
     config: ModelConfig,
     mesh: Mesh,
     return_logits: str = "last",
+    seq_len: int | None = None,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
     kv) -> (logits, kv) — or just kv when return_logits == "none" (prefill).
     `params`/`kv` must be sharded with `shard_params`/`shard_cache`;
-    tokens/positions/valid are [B, T] with B divisible by the data axis.
+    tokens/positions/valid are [B, T] with B divisible by the data axis;
+    `seq_len` is the cache's logical ring length (KVCache.seq_len).
     """
     tp = mesh.shape["model"]
     specs = tp_layout(params, config, tp)
     body = functools.partial(
-        _tp_forward_local, config=config, tp=tp, return_logits=return_logits
+        _tp_forward_local, config=config, tp=tp,
+        return_logits=return_logits,
+        seq_len=seq_len or config.max_seq_len,
     )
     if return_logits == "none":
         out_specs: Any = CACHE_SPEC

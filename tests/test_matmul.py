@@ -30,7 +30,9 @@ def test_matmul_vs_oracle(kind):
     a, qt, w_decoded = _mk(kind, m, k, n, rng)
     got = np.asarray(matmul(a, qt))
     want = a @ w_decoded.T
-    tol = {"f32": 1e-5, "bf16": 8e-3, "sfp": 8e-3, "nuq": 8e-3,
+    # f32 tolerance covers K-split accumulation-order differences across
+    # autotuned block shapes.
+    tol = {"f32": 3e-5, "bf16": 8e-3, "sfp": 8e-3, "nuq": 8e-3,
            "nuq4": 8e-3, "i8": 8e-3}[kind]
     rel = np.abs(got - want) / (np.abs(want) + 1.0)
     assert rel.max() < tol, (kind, rel.max())

@@ -87,7 +87,7 @@ def test_tp_matches_single_device(kind):
     assert dict(mesh.shape) == {"data": 2, "model": 4}
     p_sh = shard_params(params, config, mesh)
     kv_sh = shard_cache(KVCache.create(config, batch, seq_len), mesh)
-    step = build_tp_step(p_sh, config, mesh, return_logits="last")
+    step = build_tp_step(p_sh, config, mesh, return_logits="last", seq_len=seq_len)
     tp_logits, tp_kv = step(
         p_sh, jnp.asarray(tokens), jnp.asarray(positions),
         jnp.asarray(valid), jnp.asarray(prefix_end), kv_sh.kv,
@@ -96,8 +96,9 @@ def test_tp_matches_single_device(kind):
     np.testing.assert_allclose(
         np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+    # bf16 cache: allow one-ulp rounding differences from reduction order.
     np.testing.assert_allclose(
-        np.asarray(tp_kv), np.asarray(ref_cache.kv), rtol=2e-5, atol=2e-5
+        np.asarray(tp_kv), np.asarray(ref_cache.kv), rtol=1e-2, atol=1e-4
     )
 
 
@@ -126,8 +127,8 @@ def test_tp_decode_after_prefill():
     mesh = make_mesh(8, config)
     p_sh = shard_params(params, config, mesh)
     kv = shard_cache(KVCache.create(config, batch, seq_len), mesh).kv
-    prefill = build_tp_step(p_sh, config, mesh, return_logits="none")
-    decode = build_tp_step(p_sh, config, mesh, return_logits="last")
+    prefill = build_tp_step(p_sh, config, mesh, return_logits="none", seq_len=seq_len)
+    decode = build_tp_step(p_sh, config, mesh, return_logits="last", seq_len=seq_len)
     kv = prefill(p_sh, jnp.asarray(tokens), jnp.asarray(positions),
                  jnp.asarray(valid), jnp.asarray(pe), kv)
     tp_logits, _ = decode(p_sh, jnp.asarray(next_tok), jnp.asarray(next_pos),

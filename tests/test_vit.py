@@ -219,6 +219,6 @@ def test_engine_image_splice():
         image_embeddings=jnp.asarray(emb[None, :-1]),
         image_slot_mask=jnp.asarray(mask[None, :-1]),
     )
-    got = np.asarray(cache.kv[:, :, : len(prompt) - 1])
-    want = np.asarray(cache2.kv[:, :, : len(prompt) - 1])
+    got = np.asarray(cache.kv[:, :, :, :, : len(prompt) - 1])
+    want = np.asarray(cache2.kv[:, :, :, :, : len(prompt) - 1])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -255,6 +255,7 @@ class GemmaEngine:
         timing = timing_info or TimingInfo(verbosity=0)
         timing.prefill_start = time.monotonic()
 
+        user_cache = cache
         if cache is None:
             cache = self.new_cache(batch)
         start_pos = list(start_pos or [0] * batch)
@@ -300,6 +301,11 @@ class GemmaEngine:
                 if self.config.is_eos(tok):
                     non_eos[qi] = False
         timing.notify_generate_done()
+        if user_cache is not None:
+            # The loop rebinds `cache` to fresh pytrees; write the final
+            # state back so caller-held conversation caches stay live
+            # (sessions/multiturn — the reference mutates KVCache in place).
+            user_cache.kv = cache.kv
         return outputs
 
     def _sample(self, logits: jnp.ndarray, pos: list[int],

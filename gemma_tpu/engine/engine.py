@@ -130,8 +130,11 @@ class GemmaEngine:
     ) -> tuple[KVCache, list[int]]:
         """Prefill all but the last prompt token; returns (cache, last tokens).
 
-        Maps PrefillTBatch (gemma.cc:188-283): chunked over
-        prefill_tbatch_size, one query at a time when lengths are ragged.
+        Token-parallel across queries AND chunked within each prompt: round
+        j prefills tokens [j*C, (j+1)*C) of every query simultaneously with
+        per-slot valid masks, so ragged batches take ceil(max_len/C) steps
+        instead of sum(ceil(len/C)) — the PrefillQBatch/PrefillTBatch hybrid
+        (gemma.cc:188-283, 526-534).
 
         image_embeddings: [n_img, model_dim] ImageTokens; spliced into the
         embedding stream at -2 placeholders (Gemma3 VLM) or at positions
@@ -149,65 +152,70 @@ class GemmaEngine:
             img = jnp.asarray(image_embeddings, jnp.float32)
         is_pali = self.config.wrapping == PromptWrapping.PALIGEMMA
 
+        prompts = [list(p) for p in prompts]
+        last_tokens = [int(p[-1]) for p in prompts]
+        n_prefill = []
+        img_rows = []
         for qi, prompt in enumerate(prompts):
-            prompt = list(prompt)
             assert prompt, "prompts must be non-empty"
             # Map prompt position -> image row (or -1).  -2 placeholders are
             # replaced by token 0 for the (masked-out) embedding lookup.
-            img_row = [-1] * len(prompt)
+            rows = [-1] * len(prompt)
             if img is not None:
                 n_img = img.shape[0]
                 seen = 0
                 for i, t in enumerate(prompt):
                     if t == -2:
-                        img_row[i] = seen
+                        rows[i] = seen
                         seen += 1
                         prompt[i] = 0
                     elif is_pali and start_pos[qi] + i < n_img:
-                        img_row[i] = start_pos[qi] + i
+                        rows[i] = start_pos[qi] + i
+            img_rows.append(rows)
             # Attend to the last token too when it is inside the prefix
             # (gemma.cc:219-232).
-            n_prefill = len(prompt) - 1
-            if n_prefill < prefix_end[qi]:
-                n_prefill += 1
-            pos = start_pos[qi]
-            done = 0
-            while done < n_prefill:
-                n = min(chunk_size, n_prefill - done)
-                chunk = prompt[done : done + n]
-                padded = chunk + [0] * (chunk_size - n)
-                tokens = np.zeros((batch, chunk_size), np.int32)
-                tokens[qi] = padded
-                positions = np.zeros((batch, chunk_size), np.int32)
-                positions[qi] = np.arange(pos, pos + chunk_size)
-                valid = np.zeros((batch, chunk_size), bool)
+            n = len(prompt) - 1
+            if n < prefix_end[qi]:
+                n += 1
+            n_prefill.append(n)
+
+        pe = jnp.asarray(prefix_end, jnp.int32)
+        rounds = (max(n_prefill) + chunk_size - 1) // chunk_size
+        for j in range(rounds):
+            lo = j * chunk_size
+            tokens = np.zeros((batch, chunk_size), np.int32)
+            positions = np.zeros((batch, chunk_size), np.int32)
+            valid = np.zeros((batch, chunk_size), bool)
+            rows = np.zeros((batch, chunk_size), np.int32)
+            mask = np.zeros((batch, chunk_size), bool)
+            with_image = False
+            for qi, prompt in enumerate(prompts):
+                n = min(chunk_size, n_prefill[qi] - lo)
+                if n <= 0:
+                    continue
+                tokens[qi, :n] = prompt[lo : lo + n]
+                positions[qi] = np.arange(
+                    start_pos[qi] + lo, start_pos[qi] + lo + chunk_size)
                 valid[qi, :n] = True
-                pe = np.zeros((batch,), np.int32)
-                pe[qi] = prefix_end[qi]
-                args = [self.params, jnp.asarray(tokens),
-                        jnp.asarray(positions), jnp.asarray(valid),
-                        jnp.asarray(pe), cache]
-                with_image = img is not None and any(
-                    r >= 0 for r in img_row[done : done + n])
-                if with_image:
-                    rows = np.zeros((batch, chunk_size), np.int32)
-                    mask = np.zeros((batch, chunk_size), bool)
-                    for i in range(n):
-                        r = img_row[done + i]
-                        if r >= 0:
-                            rows[qi, i] = r
-                            mask[qi, i] = True
-                    emb = img[jnp.asarray(rows)]  # [batch, chunk, model_dim]
-                    args += [emb, jnp.asarray(mask)]
-                step = self._prefill_fn(batch, chunk_size, with_image)
-                cache = step(*args)
-                if stream_token is not None:
-                    for i, tok in enumerate(chunk):
-                        if done + i < len(prompt) - 1:
-                            stream_token(qi, pos + i, int(tok), 0.0)
-                pos += n
-                done += n
-        last_tokens = [int(p[-1]) for p in prompts]
+                for i in range(n):
+                    r = img_rows[qi][lo + i]
+                    if r >= 0:
+                        rows[qi, i] = r
+                        mask[qi, i] = True
+                        with_image = True
+            args = [self.params, jnp.asarray(tokens), jnp.asarray(positions),
+                    jnp.asarray(valid), pe, cache]
+            if with_image:
+                args += [img[jnp.asarray(rows)], jnp.asarray(mask)]
+            step = self._prefill_fn(batch, chunk_size, with_image)
+            cache = step(*args)
+            if stream_token is not None:
+                for qi, prompt in enumerate(prompts):
+                    n = min(chunk_size, n_prefill[qi] - lo)
+                    for i in range(max(n, 0)):
+                        if lo + i < len(prompt) - 1:
+                            stream_token(qi, start_pos[qi] + lo + i,
+                                         int(tokens[qi, i]), 0.0)
         return cache, last_tokens
 
     def generate(

@@ -170,13 +170,15 @@ def transformer_layer(
         att_out = decode_attention(cache, layer_idx, q, positions, window,
                                    att_cap=config.att_cap)
     else:
+        # Prefill: scatter KV rows, then flash attention (Pallas on TPU,
+        # XLA fallback elsewhere) — ops/flash_attention.py.
+        from gemma_tpu.ops.flash_attention import flash_prefill_attention
+
         cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
                              v.astype(cache.kv.dtype), valid=valid)
-        mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-        k_cache = cache.k_layer(layer_idx)[:, :, : cache.seq_len]
-        v_cache = cache.v_layer(layer_idx)[:, :, : cache.seq_len]
-        att_out = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
-                                           att_cap=config.att_cap)
+        att_out = flash_prefill_attention(
+            cache, layer_idx, q, positions, window,
+            att_cap=config.att_cap, prefix_end=prefix_end)
 
     att_out = att_out.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
     att_sums = matmul(att_out, layer.att_w, out_dtype=jnp.float32)

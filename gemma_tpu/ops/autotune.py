@@ -79,21 +79,26 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
 
 
 def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
-    """Measured-good defaults: full-K blocks (2-D grid, no revisiting) with
-    bn ~ 1024 when VMEM allows, else a 512x512 K-blocked tile."""
+    """Untuned-shape defaults: full-K blocks (2-D grid, no revisiting) with
+    the largest bn the (conservative) VMEM model allows.  Unlike autotune
+    candidates, a default that fails to compile aborts the run, so the
+    model here over- rather than under-estimates (factor 4 on dequant
+    temporaries, measured against Mosaic's scoped-vmem accounting)."""
     k_align = 256 if kind == "nuq4" else 128
     bk_full = round_up(min(k, 4096), k_align)
     b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
-    bm = min(256, round_up(m, 8))
+    # bm=128 fills the MXU; larger only shaves grid overhead but doubles
+    # the A tile and accumulator.
+    bm = min(128, round_up(m, 8))
     for bn in (1024, 512, 256, 128):
         chunk = 256 if kind == "nuq4" else bk_full
-        per_elem = 256 if kind == "nuq4" else 2
+        per_elem = 256 if kind == "nuq4" else 4
         dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
         vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
         vmem += dequant_tmp + bm * bn * 4
         if vmem <= _VMEM_BUDGET:
             return (bm, bn, bk_full)
-    return (bm, 256, 256 if kind == "nuq4" else 512)
+    return (bm, 128, 256 if kind == "nuq4" else 512)
 
 
 @functools.lru_cache(maxsize=None)

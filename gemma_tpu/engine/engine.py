@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gemma_tpu.engine.timing import TimingInfo
+from gemma_tpu.utils import profiler
 from gemma_tpu.models.configs import ModelConfig
 from gemma_tpu.models.gemma import Params, forward
 from gemma_tpu.models.kv_cache import KVCache
@@ -269,9 +270,10 @@ class GemmaEngine:
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
 
-        cache, last_tokens = self.prefill(prompts, cache, start_pos,
-                                          prefix_end, stream_token,
-                                          image_embeddings=image_embeddings)
+        with profiler.zone("Gen.Prefill"):
+            cache, last_tokens = self.prefill(
+                prompts, cache, start_pos, prefix_end, stream_token,
+                image_embeddings=image_embeddings)
         timing.notify_prefill(sum(len(p) - 1 for p in prompts))
 
         # Stream the last prompt token (gemma.cc:540-554).
@@ -292,9 +294,11 @@ class GemmaEngine:
             if not any(non_eos):
                 break
             positions = np.asarray(pos, np.int32)[:, None]
-            logits, cache = decode(self.params, jnp.asarray(prev[:, None]),
-                                   jnp.asarray(positions), cache)
-            tokens, probs = self._sample(logits, pos, accept_token)
+            with profiler.zone("Gen.Decode"):
+                logits, cache = decode(self.params, jnp.asarray(prev[:, None]),
+                                       jnp.asarray(positions), cache)
+            with profiler.zone("Gen.Sample"):
+                tokens, probs = self._sample(logits, pos, accept_token)
             timing.notify_generated(sum(non_eos))
             for qi in range(batch):
                 if not non_eos[qi]:

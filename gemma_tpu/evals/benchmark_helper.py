@@ -109,3 +109,24 @@ def log_speed_stats(time_start: float, total_tokens: int) -> None:
     tok_sec = total_tokens / max(elapsed, 1e-9)
     print(f"{total_tokens} tokens in {elapsed:.3f} seconds "
           f"[{tok_sec:.2f} tokens / sec]")
+
+
+def show_config(gemma) -> None:
+    """ShowConfig analog (benchmark_helper.cc): model + device summary."""
+    import jax
+
+    config = gemma.config
+    lc = config.layer_configs[0]
+    devices = jax.devices()
+    weight_kind = gemma.params.embedding.kind if gemma.params else "?"
+    print(f"Model          : {config.display_name or config.specifier()}")
+    print(f"Layers         : {len(config.layer_configs)}  "
+          f"model_dim {config.model_dim}  vocab {config.vocab_size}")
+    print(f"Heads          : {lc.heads} q / {lc.kv_heads} kv x "
+          f"{lc.qkv_dim}d  ff {lc.ff_hidden_dim}")
+    print(f"Max seq        : {config.max_seq_len}  "
+          f"windows {sorted(set(config.attention_window_sizes))}")
+    print(f"Weights        : {weight_kind}")
+    print(f"Devices        : {len(devices)} x {devices[0].device_kind} "
+          f"({jax.default_backend()})")
+    print(f"Wrapping       : {config.wrapping.name}")

@@ -50,16 +50,21 @@ class Gemma:
              runtime: RuntimeConfig | None = None,
              wrapping: PromptWrapping | None = None) -> "Gemma":
         """Load a .sbs model file (single-file or pre-2025 + tokenizer)."""
-        reader = BlobReader(weights_path)
-        store = ModelStore(reader, tokenizer_path=tokenizer_path,
-                           wrapping=wrapping)
-        params = load_params(store, kind_override=kind_override)
+        from gemma_tpu.utils import profiler
+
+        with profiler.zone("Startup.open"):
+            reader = BlobReader(weights_path)
+            store = ModelStore(reader, tokenizer_path=tokenizer_path,
+                               wrapping=wrapping)
+        with profiler.zone("Startup.weights"):
+            params = load_params(store, kind_override=kind_override)
         if store.config.vit_config.layer_configs and \
                 "img_emb_kernel" in store.tensors:
             from gemma_tpu.models.vit import load_vit_params
 
             params.vit = load_vit_params(store, kind_override)
-        tokenizer = GemmaTokenizer(store.tokenizer_bytes())
+        with profiler.zone("Startup.tokenizer"):
+            tokenizer = GemmaTokenizer(store.tokenizer_bytes())
         return cls(store.config, params, tokenizer, runtime, store)
 
     def save(self, path: str) -> None:

@@ -167,7 +167,16 @@ def main(argv=None) -> None:
               "(%C resets conversation, %Q quits).\n")
 
     gemma = load_gemma(loader, inference)
+    if inference.verbosity >= 1 and interactive:
+        from gemma_tpu.evals.benchmark_helper import show_config
+
+        show_config(gemma)
+        print()
     repl(gemma, inference)
+    if inference.verbosity >= 2:
+        from gemma_tpu.utils import profiler
+
+        profiler.print_results()
 
 
 if __name__ == "__main__":

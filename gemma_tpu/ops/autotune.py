@@ -59,11 +59,12 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
                 if bk % k_align or bk > bk_full:
                     continue
                 chunk = 256 if kind == "nuq4" else bk
-                # nuq4's select tree stack-allocates ~64 temporaries in
-                # Mosaic; the byte codecs only materialize the bf16 tile
-                # (counted below) plus per-vreg temps.  Candidates that
-                # still blow VMEM fail to compile and are skipped.
-                per_elem = 256 if kind == "nuq4" else 2
+                # nuq4's unrolled select tree keeps ~20 f32 [bn, 256]
+                # temporaries live per group; the byte codecs only
+                # materialize the bf16 tile (counted below) plus per-vreg
+                # temps.  Candidates that still blow VMEM fail to compile
+                # and are skipped.
+                per_elem = 80 if kind == "nuq4" else 2
                 dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
                 vmem = (
                     2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in

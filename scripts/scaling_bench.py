@@ -1,0 +1,109 @@
+"""Scaling-efficiency benchmark: decode throughput vs device count
+(the BASELINE.md north-star: >=85% linear scaling on pod slices).
+
+Runs the TP decode step on meshes of 1, 2, 4, ... devices and reports
+tokens/sec and parallel efficiency.  On a CPU host it exercises the
+sharding path functionally (with --devices N virtual devices); on real
+multi-chip TPU slices it measures true ICI scaling.
+
+    python scripts/scaling_bench.py [--model gemma2_2b] [--kind sfp]
+        [--batch 16] [--seq 1024] [--steps 16] [--devices N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="gemma2_2b")
+    p.add_argument("--kind", default="sfp")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--devices", type=int, default=0,
+                   help="force N virtual CPU devices (0 = use real devices)")
+    args = p.parse_args()
+
+    if args.devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gemma_tpu.models import configs as C
+    from gemma_tpu.models.kv_cache import KVCache
+    from gemma_tpu.parallel import (build_tp_step, make_mesh, shard_cache,
+                                    shard_params)
+    from gemma_tpu.utils.synth import synth_params
+
+    if jax.default_backend() == "cpu":
+        # Functional smoke only: interpret-mode kernels make real model
+        # sizes impractical on CPU.
+        from gemma_tpu.compression import Type
+
+        lc = C.LayerConfig(model_dim=64, ff_hidden_dim=256, heads=8,
+                           kv_heads=8, qkv_dim=32,
+                           post_norm=C.PostNormType.SCALE)
+        config = C.ModelConfig(
+            model=C.Model.GEMMA2_2B, model_dim=64, vocab_size=256,
+            max_seq_len=args.seq, num_layers=2, att_cap=50.0, final_cap=30.0,
+            weight=Type.SFP)
+        config.layer_configs = [lc, lc]
+        config.attention_window_sizes = [args.seq, args.seq]
+        args.seq = min(args.seq, 64)
+        print("cpu backend: using a tiny functional-smoke config")
+    else:
+        config = getattr(C, f"config_{args.model}")()
+    params_host = synth_params(config, kind=args.kind, seed=0)
+    n_dev = len(jax.devices())
+
+    sizes = []
+    n = 1
+    while n <= n_dev:
+        sizes.append(n)
+        n *= 2
+
+    base_tps = None
+    for n in sizes:
+        mesh = make_mesh(n, config)
+        params = shard_params(params_host, config, mesh)
+        cache = shard_cache(KVCache.create(config, args.batch, args.seq),
+                            mesh)
+        decode = build_tp_step(params, config, mesh, return_logits="last",
+                               seq_len=args.seq)
+        tokens = jnp.ones((args.batch, 1), jnp.int32)
+        positions = jnp.full((args.batch, 1), args.seq // 2, jnp.int32)
+        valid = jnp.ones((args.batch, 1), bool)
+        pe = jnp.zeros((args.batch,), jnp.int32)
+
+        kv = cache.kv
+        logits, kv = decode(params, tokens, positions, valid, pe, kv)
+        np.asarray(logits)  # sync
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            logits, kv = decode(params, tokens, positions, valid, pe, kv)
+        np.asarray(logits)
+        dt = time.perf_counter() - t0
+        tps = args.batch * args.steps / dt
+        if base_tps is None:
+            base_tps = tps
+        eff = tps / (base_tps * n)
+        print(f"devices={n:3d} mesh={dict(mesh.shape)} "
+              f"{tps:10.1f} tok/s  efficiency={eff:6.1%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -66,10 +66,7 @@ class KVCache:
     ) -> "KVCache":
         lc = config.layer_configs[0]
         seq_len = min(seq_len or config.max_seq_len, config.max_seq_len)
-        # Pad S so the flash-prefill kernel gets large, evenly dividing
-        # S-blocks (a non-512-divisible s_alloc collapses its block size
-        # and costs ~20x); small caches only need the 16-row bf16 tile.
-        s_alloc = round_up(seq_len + 1, 512 if seq_len >= 1024 else 16)
+        s_alloc = round_up(seq_len + 1, 16)  # bf16 sublane tile
         kv = jnp.zeros(
             (batch, len(config.layer_configs), 2, lc.kv_heads, s_alloc,
              lc.qkv_dim),

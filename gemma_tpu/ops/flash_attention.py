@@ -114,10 +114,10 @@ def _flash_pallas(kv, q, base, newest, pe, groups: int, layer_idx: int,
     bt = min(block_t, t)
     while t % bt:
         bt //= 2
+    # bs need not divide s_alloc: Pallas pads the trailing block and the
+    # s_idx < seq_len mask excludes whatever the padding contains.
     bs = min(block_s, s_alloc)
-    while s_alloc % bs:
-        bs //= 2
-    n_sblocks = s_alloc // bs
+    n_sblocks = -(-s_alloc // bs)
 
     kernel = functools.partial(
         _flash_kernel, groups, seq_len, window, att_cap, bt, bs, n_sblocks)

@@ -55,13 +55,23 @@ class RuntimeConfig:
 
 
 class GemmaEngine:
-    """Owns params + jitted step functions (the `Gemma` class analog)."""
+    """Owns params + jitted step functions (the `Gemma` class analog).
+
+    With `mesh` set, params are sharded Megatron-style over the "model"
+    axis and queries over "data" (parallel/tp.py); the host loop is
+    unchanged — only the jitted steps become shard_map programs.
+    """
 
     def __init__(self, params: Params, config: ModelConfig,
-                 runtime: RuntimeConfig | None = None):
-        self.params = params
+                 runtime: RuntimeConfig | None = None, mesh=None):
         self.config = config
         self.runtime = runtime or RuntimeConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from gemma_tpu.parallel import shard_params
+
+            params = shard_params(params, config, mesh)
+        self.params = params
         self._prefill_fns: dict = {}
         self._decode_fns: dict = {}
         self._generate_fns: dict = {}
@@ -72,6 +82,25 @@ class GemmaEngine:
         key = (batch, chunk, with_image)
         if key not in self._prefill_fns:
             config = self.config
+
+            if self.mesh is not None:
+                if with_image:
+                    raise NotImplementedError(
+                        "image prompts on a mesh: planned")
+                from gemma_tpu.parallel import build_tp_step
+
+                tp_step = build_tp_step(self.params, config, self.mesh,
+                                        return_logits="none",
+                                        seq_len=self.runtime.seq_len)
+
+                def step(params, tokens, positions, valid, prefix_end,
+                         cache):
+                    kv = tp_step(params, tokens, positions, valid,
+                                 prefix_end, cache.kv)
+                    return KVCache(kv, cache.seq_len)
+
+                self._prefill_fns[key] = step
+                return step
 
             if with_image:
 
@@ -103,13 +132,28 @@ class GemmaEngine:
         if batch not in self._decode_fns:
             config = self.config
 
-            @jax.jit
-            def step(params, prev_tokens, positions, cache):
-                logits, cache = forward(
-                    params, prev_tokens, positions, cache, config,
-                    return_logits="last",
-                )
-                return logits, cache
+            if self.mesh is not None:
+                from gemma_tpu.parallel import build_tp_step
+
+                tp_step = build_tp_step(self.params, config, self.mesh,
+                                        return_logits="last",
+                                        seq_len=self.runtime.seq_len)
+
+                def step(params, prev_tokens, positions, cache):
+                    valid = jnp.ones_like(prev_tokens, bool)
+                    pe = jnp.zeros((prev_tokens.shape[0],), jnp.int32)
+                    logits, kv = tp_step(params, prev_tokens, positions,
+                                         valid, pe, cache.kv)
+                    return logits, KVCache(kv, cache.seq_len)
+            else:
+
+                @jax.jit
+                def step(params, prev_tokens, positions, cache):
+                    logits, cache = forward(
+                        params, prev_tokens, positions, cache, config,
+                        return_logits="last",
+                    )
+                    return logits, cache
 
             self._decode_fns[batch] = step
         return self._decode_fns[batch]
@@ -117,8 +161,13 @@ class GemmaEngine:
     # --- public API ---
 
     def new_cache(self, batch: int, seq_len: int | None = None) -> KVCache:
-        return KVCache.create(self.config, batch,
-                              seq_len or self.runtime.seq_len)
+        cache = KVCache.create(self.config, batch,
+                               seq_len or self.runtime.seq_len)
+        if self.mesh is not None:
+            from gemma_tpu.parallel import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     def prefill(
         self,
@@ -367,6 +416,9 @@ class GemmaEngine:
         Returns [batch, max_steps] tokens; no EOS early-exit or streaming --
         this is the throughput path for benchmarks.
         """
+        if self.mesh is not None:
+            raise NotImplementedError("generate_fast on a mesh: use "
+                                      "scripts/scaling_bench.py")
         batch = len(prompts)
         cache = self.new_cache(batch)
         cache, last_tokens = self.prefill(prompts, cache)

@@ -34,12 +34,12 @@ class Gemma:
     def __init__(self, config: ModelConfig, params: Params,
                  tokenizer: GemmaTokenizer,
                  runtime: RuntimeConfig | None = None,
-                 store: ModelStore | None = None):
+                 store: ModelStore | None = None, mesh=None):
         self.config = config
-        self.params = params
         self.tokenizer = tokenizer
         self.chat_template = ChatTemplate(tokenizer)
-        self.engine = GemmaEngine(params, config, runtime)
+        self.engine = GemmaEngine(params, config, runtime, mesh=mesh)
+        self.params = self.engine.params  # sharded when mesh is set
         self._store = store
 
     # --- construction ---
@@ -48,7 +48,7 @@ class Gemma:
     def load(cls, weights_path: str, tokenizer_path: str | None = None,
              kind_override: str | None = None,
              runtime: RuntimeConfig | None = None,
-             wrapping: PromptWrapping | None = None) -> "Gemma":
+             wrapping: PromptWrapping | None = None, mesh=None) -> "Gemma":
         """Load a .sbs model file (single-file or pre-2025 + tokenizer)."""
         from gemma_tpu.utils import profiler
 
@@ -65,7 +65,8 @@ class Gemma:
             params.vit = load_vit_params(store, kind_override)
         with profiler.zone("Startup.tokenizer"):
             tokenizer = GemmaTokenizer(store.tokenizer_bytes())
-        return cls(store.config, params, tokenizer, runtime, store)
+        return cls(store.config, params, tokenizer, runtime, store,
+                   mesh=mesh)
 
     def save(self, path: str) -> None:
         """Gemma::Save analog (gemma/gemma.cc:655-661): single-file .sbs."""

@@ -35,7 +35,6 @@ from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
 from gemma_tpu.models.gemma import LayerParams, Params, embed_tokens
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
-from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
 from gemma_tpu.ops.matmul import QuantTensor, matmul
 
 # KV cache layout: [batch, layers, 2, kv_heads, s_alloc, qkv_dim]
@@ -215,15 +214,30 @@ def _tp_forward_local(
             q = ops.rms_norm(q, layer.query_norm)
         q = _pos_encode(q, positions, ts, query_scale, lci.post_qk)
 
-        cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
-                             v.astype(cache.kv.dtype), valid=valid)
-
         window = config.attention_window_sizes[layer_idx]
-        mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-        k_cache = cache.k_layer(layer_idx)[:, :, : cache.seq_len]
-        v_cache = cache.v_layer(layer_idx)[:, :, : cache.seq_len]
-        att = dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
-                                       att_cap=config.att_cap)
+        if t == 1:
+            # Decode hot path on local shards: in-place Pallas KV row write
+            # + fused attention kernel (XLA fallback off-TPU) — the same
+            # kernels the single-chip path uses (ops/decode_attention.py).
+            from gemma_tpu.ops.decode_attention import (
+                decode_attention,
+                kv_write_decode,
+            )
+
+            cache = kv_write_decode(cache, layer_idx, positions,
+                                    k.astype(cache.kv.dtype),
+                                    v.astype(cache.kv.dtype), valid=valid)
+            att = decode_attention(cache, layer_idx, q, positions, window,
+                                   att_cap=config.att_cap)
+        else:
+            from gemma_tpu.ops.flash_attention import flash_prefill_attention
+
+            cache = cache.update(layer_idx, positions,
+                                 k.astype(cache.kv.dtype),
+                                 v.astype(cache.kv.dtype), valid=valid)
+            att = flash_prefill_attention(
+                cache, layer_idx, q, positions, window,
+                att_cap=config.att_cap, prefix_end=prefix_end)
         att = att.reshape(b * t, heads_l * qkv_dim).astype(jnp.bfloat16)
         att_sums = matmul(att, layer.att_w, out_dtype=jnp.float32)
         att_sums = jax.lax.psum(att_sums, "model").reshape(b, t, model_dim)

@@ -1,0 +1,45 @@
+"""Mesh-sharded engine vs single-device engine (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from gemma_tpu.engine.engine import GemmaEngine, RuntimeConfig
+from gemma_tpu.parallel import make_mesh
+from gemma_tpu.utils.synth import synth_params
+
+from tests.test_parallel import tp_config
+
+
+@pytest.fixture(scope="module")
+def engines():
+    config = tp_config(num_layers=2)
+    params = synth_params(config, kind="f32", seed=11)
+    runtime = RuntimeConfig(seq_len=32, prefill_tbatch_size=8,
+                            decode_qbatch_size=4)
+    single = GemmaEngine(params, config, runtime)
+    mesh = make_mesh(8, config)
+    sharded = GemmaEngine(params, config,
+                          RuntimeConfig(seq_len=32, prefill_tbatch_size=8,
+                                        decode_qbatch_size=4), mesh=mesh)
+    return single, sharded
+
+
+def test_mesh_engine_matches_single(engines):
+    single, sharded = engines
+    rng = np.random.default_rng(0)
+    # batch 4 (divisible by data axis 2), ragged lengths
+    prompts = [list(rng.integers(2, 500, n)) for n in (3, 6, 5, 4)]
+    want = single.generate_batch(prompts, max_generated_tokens=4)
+    got = sharded.generate_batch(prompts, max_generated_tokens=4)
+    assert got == want
+
+
+def test_mesh_engine_streaming(engines):
+    _, sharded = engines
+    seen = []
+    sharded.generate_batch(
+        [[2, 5, 9], [3, 7, 11], [2, 2, 2], [9, 9, 9]],
+        max_generated_tokens=2,
+        stream_token=lambda qi, pos, tok, p: (seen.append((qi, tok)), True)[1],
+    )
+    assert seen

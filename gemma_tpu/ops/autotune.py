@@ -93,7 +93,9 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     bm = min(128, round_up(m, 8))
     for bn in (1024, 512, 256, 128):
         chunk = 256 if kind == "nuq4" else bk_full
-        per_elem = 256 if kind == "nuq4" else 4
+        # Mosaic materializes tile-sized i32 temporaries for the byte-codec
+        # dequants (~2 x 4B/elem observed in scoped-vmem accounting).
+        per_elem = 256 if kind == "nuq4" else 8
         dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
         vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
         vmem += dequant_tmp + bm * bn * 4

@@ -93,3 +93,13 @@ def test_show_config(capsys, tmp_path):
     show_config(g)
     out = capsys.readouterr().out
     assert "tiny-test" in out and "Devices" in out
+
+
+def test_analyze_tensor():
+    from gemma_tpu.compression import Type
+    from gemma_tpu.compression.analyze import analyze_tensor
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.3, (32, 64)).astype(np.float32)
+    out = analyze_tensor("w", x, codec=Type.SFP)
+    assert "shape=(32, 64)" in out and "distortion" in out

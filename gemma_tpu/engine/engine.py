@@ -52,6 +52,11 @@ class RuntimeConfig:
     seed: int = 0
     verbosity: int = 1
     seq_len: int = 8192
+    # Decode steps per device dispatch: >1 amortizes host/dispatch latency
+    # (streaming callbacks then fire in bursts of up to this many tokens;
+    # outputs are bit-identical to stepwise decode).  1 = per-token
+    # streaming like the reference.
+    decode_chunk: int = 4
 
 
 class GemmaEngine:
@@ -74,6 +79,7 @@ class GemmaEngine:
         self.params = params
         self._prefill_fns: dict = {}
         self._decode_fns: dict = {}
+        self._decode_chunk_fns: dict = {}
         self._generate_fns: dict = {}
 
     # --- jitted steps ---
@@ -157,6 +163,42 @@ class GemmaEngine:
 
             self._decode_fns[batch] = step
         return self._decode_fns[batch]
+
+    def _decode_chunk_fn(self, batch: int, k: int):
+        """k decode+sample steps in one executable (lax.scan), returning
+        tokens/probs [B, k] — amortizes per-dispatch latency for the host
+        loop while keeping per-(query, pos) sampling streams exact."""
+        rt = self.runtime
+        key = (batch, k, rt.top_k, rt.temperature)
+        if key not in self._decode_chunk_fns:
+            config = self.config
+            top_k, temperature = rt.top_k, rt.temperature
+            sampler = sampling.make_sampler(top_k, temperature)
+
+            @jax.jit
+            def run(params, prev, pos, cache, seed):
+                def body(carry, _):
+                    prev, pos, cache = carry
+                    logits, cache = forward(
+                        params, prev[:, None], pos[:, None], cache, config,
+                        return_logits="last",
+                    )
+                    if top_k == 1:
+                        tok, prob = sampling.top1(logits)
+                    else:
+                        keys = jax.vmap(
+                            lambda qi, p: sample_key(seed, qi, p)
+                        )(jnp.arange(batch), pos + 1)
+                        tok, prob = sampler(logits, keys)
+                    tok = tok.astype(jnp.int32)
+                    return (tok, pos + 1, cache), (tok, prob)
+
+                (prev, pos, cache), (toks, probs) = jax.lax.scan(
+                    body, (prev, pos, cache), None, length=k)
+                return toks.T, probs.T, cache
+
+            self._decode_chunk_fns[key] = run
+        return self._decode_chunk_fns[key]
 
     # --- public API ---
 
@@ -334,33 +376,53 @@ class GemmaEngine:
                 if not stream_token(qi, pos[qi], tok, 0.0):
                     non_eos[qi] = False
 
-        decode = self._decode_fn(batch)
         outputs: list[list[int]] = [[] for _ in range(batch)]
         prev = np.asarray(last_tokens, np.int32)
         timing.generate_start = time.monotonic()
 
-        for _step in range(max_gen):
-            if not any(non_eos):
-                break
-            positions = np.asarray(pos, np.int32)[:, None]
-            with profiler.zone("Gen.Decode"):
-                logits, cache = decode(self.params, jnp.asarray(prev[:, None]),
-                                       jnp.asarray(positions), cache)
-            with profiler.zone("Gen.Sample"):
-                tokens, probs = self._sample(logits, pos, accept_token)
-            timing.notify_generated(sum(non_eos))
-            for qi in range(batch):
-                if not non_eos[qi]:
-                    continue
-                tok, prob = int(tokens[qi]), float(probs[qi])
-                if stream_token is not None:
-                    if not stream_token(qi, pos[qi] + 1, tok, prob):
-                        tok = self.config.eos_id
-                outputs[qi].append(tok)
-                prev[qi] = tok
-                pos[qi] += 1
-                if self.config.is_eos(tok):
-                    non_eos[qi] = False
+        # Chunked decode (device-side sampling loop) when the host cannot
+        # influence tokens mid-chunk; accept_token and mesh mode take the
+        # one-step path.  stream_token still fires per token, in bursts.
+        chunk = max(1, rt.decode_chunk)
+        if accept_token is not None or self.mesh is not None:
+            chunk = 1
+
+        done = 0
+        while done < max_gen and any(non_eos):
+            k = min(chunk, max_gen - done)
+            positions = np.asarray(pos, np.int32)
+            if k == 1:
+                with profiler.zone("Gen.Decode"):
+                    logits, cache = self._decode_fn(batch)(
+                        self.params, jnp.asarray(prev[:, None]),
+                        jnp.asarray(positions[:, None]), cache)
+                with profiler.zone("Gen.Sample"):
+                    tokens, probs = self._sample(logits, pos, accept_token)
+                tokens, probs = tokens[:, None], np.asarray(probs)[:, None]
+            else:
+                run = self._decode_chunk_fn(batch, k)
+                with profiler.zone("Gen.DecodeChunk"):
+                    toks, prb, cache = run(
+                        self.params, jnp.asarray(prev),
+                        jnp.asarray(positions), cache, rt.seed)
+                tokens, probs = np.asarray(toks), np.asarray(prb)
+            for i in range(k):
+                if not any(non_eos):
+                    break
+                timing.notify_generated(sum(non_eos))
+                for qi in range(batch):
+                    if not non_eos[qi]:
+                        continue
+                    tok, prob = int(tokens[qi, i]), float(probs[qi, i])
+                    if stream_token is not None:
+                        if not stream_token(qi, pos[qi] + 1, tok, prob):
+                            tok = self.config.eos_id
+                    outputs[qi].append(tok)
+                    prev[qi] = tok
+                    pos[qi] += 1
+                    if self.config.is_eos(tok):
+                        non_eos[qi] = False
+            done += k
         timing.notify_generate_done()
         if user_cache is not None:
             # The loop rebinds `cache` to fresh pytrees; write the final

@@ -142,3 +142,39 @@ def test_top_k_sampling_runs():
     out2 = engine.generate(prompt, max_generated_tokens=5)
     # Counter-based RNG: same (seed, qi, pos) streams -> deterministic.
     assert out1 == out2
+
+
+def test_decode_chunking_matches_stepwise():
+    """decode_chunk > 1 must produce identical tokens/streams as chunk=1."""
+    import numpy as np
+
+    from gemma_tpu.engine.engine import GemmaEngine, RuntimeConfig
+    from tests.test_model import random_weights, tiny_config, to_params
+
+    rng = np.random.default_rng(3)
+    config = tiny_config(num_layers=2)
+    params = to_params(random_weights(config, rng), config)
+    prompts = [list(rng.integers(2, 100, n)) for n in (3, 6)]
+
+    def run(chunk, top_k=1):
+        eng = GemmaEngine(
+            params, config,
+            RuntimeConfig(seq_len=48, prefill_tbatch_size=8,
+                          decode_chunk=chunk, top_k=top_k, temperature=0.9))
+        streamed = []
+        outs = eng.generate_batch(
+            prompts, max_generated_tokens=7,
+            stream_token=lambda qi, pos, tok, p: (
+                streamed.append((qi, pos, tok)), True)[1])
+        return outs, streamed
+
+    want, want_stream = run(1)
+    for chunk in (3, 8):
+        got, got_stream = run(chunk)
+        assert got == want, chunk
+        assert got_stream == want_stream, chunk
+
+    # top-k sampling streams must be batching-invariant too (counter PRNG).
+    want_k, _ = run(1, top_k=3)
+    got_k, _ = run(4, top_k=3)
+    assert got_k == want_k

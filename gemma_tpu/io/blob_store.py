@@ -112,14 +112,25 @@ class BlobReader:
     def blob_bytes(self, key: str) -> int:
         return self.ranges[key][1]
 
+    # Blobs at least this big take the native multithreaded-pread path
+    # (the reference's parallel read mode, gemma/weights.cc:676-694).
+    NATIVE_READ_MIN_BYTES = 8 << 20
+
     def read(self, key: str, dtype=np.uint8, copy: bool = True) -> np.ndarray:
         """Read one whole blob as a numpy array of `dtype`.
 
         With `copy=False` and memmap enabled, returns a zero-copy view into
         the mapping (pages fault in lazily, the reference's kMap mode); the
-        reader must stay open while the view is alive.
+        reader must stay open while the view is alive.  Large copied reads
+        go through the native parallel reader when it is available.
         """
         off, nbytes = self.ranges[key]
+        if copy and nbytes >= self.NATIVE_READ_MIN_BYTES:
+            from gemma_tpu.io import native_io
+
+            bufs = native_io.parallel_read(self.path, [(off, nbytes)])
+            if bufs is not None:
+                return bufs[0].view(dtype)
         if self._mmap is not None:
             buf = np.frombuffer(self._mmap, dtype=np.uint8, count=nbytes, offset=off)
             if copy:

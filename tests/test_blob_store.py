@@ -101,3 +101,34 @@ def test_truncated_file_rejected(tmp_path):
     path.write_bytes(raw[: len(raw) // 2])
     with pytest.raises(ValueError):
         BlobReader(str(path))
+
+
+def test_native_parallel_read(tmp_path):
+    """Native multithreaded reader returns byte-identical blobs."""
+    import numpy as np
+
+    from gemma_tpu.io import native_io
+    from gemma_tpu.io.blob_store import BlobReader, BlobWriter
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 255, 20 << 20, dtype=np.uint8)  # 20 MB
+    small = rng.integers(0, 255, 1000, dtype=np.uint8)
+    path = str(tmp_path / "big.sbs")
+    with BlobWriter(path) as w:
+        w.add("big", big)
+        w.add("small", small)
+    r = BlobReader(path)
+    np.testing.assert_array_equal(r.read("big"), big)  # native path
+    np.testing.assert_array_equal(r.read("small"), small)
+
+    # direct API with several ranges incl. chunk splits
+    ranges = [r.ranges["big"], r.ranges["small"]]
+    bufs = native_io.parallel_read(path, ranges, threads=4,
+                                   chunk_bytes=1 << 20)
+    np.testing.assert_array_equal(bufs[0], big)
+    np.testing.assert_array_equal(bufs[1], small)

@@ -42,14 +42,84 @@ class Session:
 
 
 class GemmaService:
-    """Model + session state shared by all requests (ServerState analog)."""
+    """Model + session state shared by all requests (ServerState analog).
 
-    def __init__(self, gemma, model_name: str = "gemma"):
+    continuous=True replaces the single inference mutex with the
+    continuous-batching scheduler (engine/serving.py): concurrent requests
+    share decode steps instead of queueing behind each other.  Sessions
+    (KV reuse) require the serialized path and are rejected in this mode.
+    """
+
+    def __init__(self, gemma, model_name: str = "gemma",
+                 continuous: bool = False):
         self.gemma = gemma
         self.model_name = model_name
         self.sessions: dict[str, Session] = {}
         self.sessions_lock = threading.Lock()
         self.inference_lock = threading.Lock()
+        self.batcher = None
+        if continuous:
+            from gemma_tpu.engine.serving import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(gemma.engine)
+            self._batcher_wake = threading.Condition()
+            thread = threading.Thread(target=self._batcher_loop, daemon=True)
+            thread.start()
+
+    def _batcher_loop(self) -> None:
+        while True:
+            with self._batcher_wake:
+                while not (self.batcher.pending or self.batcher.active):
+                    self._batcher_wake.wait()
+            self.batcher.step()
+
+    def _generate_continuous(self, request: dict, on_chunk=None) -> dict:
+        import queue
+
+        from gemma_tpu.engine.serving import Request
+
+        gemma = self.gemma
+        prompt = self.wrap_messages(request["contents"])
+        gen_cfg = request.get("generationConfig", {})
+        max_tokens = int(gen_cfg.get("maxOutputTokens", 8192))
+        tokens = wrap_and_tokenize(
+            gemma.tokenizer, gemma.chat_template, gemma.config.wrapping, 0,
+            prompt)
+
+        fifo: queue.Queue = queue.Queue()
+
+        def on_token(req, tok) -> bool:
+            fifo.put(tok)
+            return True
+
+        req = Request(tokens, max_tokens=max_tokens, on_token=on_token)
+        with self._batcher_wake:
+            self.batcher.submit(req)
+            self._batcher_wake.notify()
+
+        pieces: list[str] = []
+        generated = 0
+        while True:
+            try:
+                tok = fifo.get(timeout=0.05)
+            except queue.Empty:
+                if req.done:
+                    break
+                continue
+            generated += 1
+            if gemma.config.is_eos(tok):
+                break
+            text = gemma.tokenizer.decode([tok])
+            pieces.append(text)
+            if on_chunk is not None:
+                on_chunk(text)
+        response = api_response("".join(pieces), finished=True)
+        response["usageMetadata"] = {
+            "promptTokenCount": len(tokens),
+            "candidatesTokenCount": generated,
+            "totalTokenCount": len(tokens) + generated,
+        }
+        return response
 
     def get_or_create_session(self, session_id: str) -> Session:
         with self.sessions_lock:
@@ -83,9 +153,14 @@ class GemmaService:
 
     def generate(self, request: dict, on_chunk=None) -> dict:
         """Run one generateContent request; stream chunks via on_chunk."""
-        session_id = request.get("sessionId") or f"session_{uuid.uuid4().hex}"
         if "contents" not in request:
             raise ValueError("Missing 'contents' field")
+        if self.batcher is not None:
+            if request.get("sessionId"):
+                raise ValueError(
+                    "sessionId is not supported in --continuous mode")
+            return self._generate_continuous(request, on_chunk=on_chunk)
+        session_id = request.get("sessionId") or f"session_{uuid.uuid4().hex}"
         prompt = self.wrap_messages(request["contents"])
 
         gen_cfg = request.get("generationConfig", {})
@@ -224,6 +299,9 @@ def main(argv=None) -> None:
     add_args(parser, LoaderArgs, InferenceArgs)
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--continuous", action="store_true",
+                        help="continuous batching (no sessions; concurrent "
+                             "requests share decode steps)")
     ns = parser.parse_args(argv)
     loader = extract(ns, LoaderArgs)
     inference = extract(ns, InferenceArgs)
@@ -231,7 +309,9 @@ def main(argv=None) -> None:
         parser.error("--weights is required")
 
     gemma = load_gemma(loader, inference)
-    service = GemmaService(gemma, model_name=gemma.config.display_name or "gemma")
+    service = GemmaService(gemma,
+                           model_name=gemma.config.display_name or "gemma",
+                           continuous=ns.continuous)
     server = ThreadingHTTPServer((ns.host, ns.port), make_handler(service))
     print(f"gemma_tpu API server listening on http://{ns.host}:{ns.port}")
     server.serve_forever()

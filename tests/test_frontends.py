@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -169,3 +170,46 @@ def test_repl_noninteractive(tmp_path, capsys, monkeypatch):
     ])
     out = capsys.readouterr()
     assert out.out is not None  # completed without raising
+
+
+def test_http_server_continuous(tiny_gemma):
+    """--continuous mode: concurrent requests share decode steps."""
+    import concurrent.futures
+
+    from gemma_tpu.api_server import GemmaService, make_handler
+
+    service = GemmaService(tiny_gemma, model_name="tiny", continuous=True)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def ask(text):
+            body = json.dumps({
+                "contents": [{"role": "user", "parts": [{"text": text}]}],
+                "generationConfig": {"maxOutputTokens": 3},
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1beta/models/tiny:generateContent",
+                data=body, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            results = list(pool.map(ask, ["hello", "world", "user model"]))
+        for resp in results:
+            assert resp["candidates"][0]["finishReason"] == "STOP"
+            assert resp["usageMetadata"]["candidatesTokenCount"] <= 3
+
+        # sessions are rejected in continuous mode
+        body = json.dumps({"contents": [{"parts": [{"text": "x"}]}],
+                           "sessionId": "abc"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1beta/models/tiny:generateContent",
+            data=body, headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()

@@ -54,16 +54,16 @@ def main() -> None:
             w = synth_quant(rng, n, k, kind)
 
             @jax.jit
-            def loop(a, w=w):
+            def loop(a, w):
                 def body(c, _):
                     out = matmul(c, w)
                     return c + (out[0, 0] * 1e-30).astype(c.dtype), ()
                 f, _ = jax.lax.scan(body, a, None, length=args.reps)
                 return f[0, 0]
 
-            float(loop(a))
+            float(loop(a, w))
             t0 = time.perf_counter()
-            float(loop(a))
+            float(loop(a, w))
             dt = max(time.perf_counter() - t0 - overhead, 1e-9) / args.reps
             gflops = 2 * m * k * n / dt / 1e9
             gbs = BYTES[kind] * k * n / dt / 1e9

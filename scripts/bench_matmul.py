@@ -16,9 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_SHAPES = [
+DEFAULT_SHAPES = [  # Gemma2-2B decode/prefill shapes (vocab 256000)
     (16, 2304, 2048), (16, 2304, 9216), (16, 9216, 2304),
-    (16, 2304, 256128),
+    (16, 2304, 256000),
     (256, 2304, 9216), (256, 9216, 2304),
 ]
 

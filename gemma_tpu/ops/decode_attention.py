@@ -94,7 +94,7 @@ def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
     from gemma_tpu.models.kv_cache import KVCache
 
     if use_pallas is None:
-        use_pallas = _use_pallas()
+        use_pallas = _use_pallas() and cache.kv.shape[-1] % 128 == 0
     if not use_pallas:
         return cache.update(layer_idx, positions, k, v, valid=valid)
 
@@ -187,7 +187,8 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
     Returns [B, 1, heads, D] f32.
     """
     if use_pallas is None:
-        use_pallas = _use_pallas()
+        # Mosaic needs lane-aligned head dims; tiny test configs fall back.
+        use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
     b, t, heads, d = q.shape
     assert t == 1, "decode_attention is the T == 1 path"
     kv_heads = cache.kv.shape[3]

@@ -167,7 +167,8 @@ def flash_prefill_attention(cache, layer_idx: int, q, positions,
     Returns [B, T, heads, D] f32.
     """
     if use_pallas is None:
-        use_pallas = _use_pallas()
+        # Mosaic needs lane-aligned head dims; tiny test configs fall back.
+        use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
     b, t, heads, d = q.shape
     kvh = cache.kv.shape[3]
     groups = heads // kvh

@@ -178,6 +178,12 @@ def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
     )(pos, q, kv, kv)
 
 
+# Whole-[H, S, D] K/V panels (x2 for double buffering) must fit VMEM; past
+# this the flash kernel's S-blocked online softmax takes over (slower per
+# step at short S, but the only option at long context).
+_PANEL_VMEM_BUDGET = 12 << 20
+
+
 def decode_attention(cache, layer_idx: int, q, positions, window: int,
                      att_cap: float = 0.0,
                      use_pallas: bool | None = None) -> jnp.ndarray:
@@ -189,6 +195,15 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
     if use_pallas is None:
         # Mosaic needs lane-aligned head dims; tiny test configs fall back.
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
+    if use_pallas:
+        _, _, _, kvh_, s_alloc_, d_ = cache.kv.shape
+        panel = kvh_ * s_alloc_ * d_ * 2 * 2 * 2  # K+V, bf16, double-buffer
+        if panel > _PANEL_VMEM_BUDGET:
+            from gemma_tpu.ops.flash_attention import flash_prefill_attention
+
+            return flash_prefill_attention(
+                cache, layer_idx, q, positions, window, att_cap=att_cap,
+                use_pallas=True)
     b, t, heads, d = q.shape
     assert t == 1, "decode_attention is the T == 1 path"
     kv_heads = cache.kv.shape[3]

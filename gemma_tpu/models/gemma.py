@@ -242,9 +242,11 @@ def forward(
     half_rope = lc.post_qk == PostQKType.HALF_ROPE
     inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
     inv_ts_g = None
-    from gemma_tpu.models.configs import PromptWrapping
+    from gemma_tpu.models.configs import is_vlm
 
-    if config.wrapping == PromptWrapping.GEMMA_VLM:
+    # Global layers of VLM-family models use a 1e6 RoPE base; keyed on the
+    # MODEL, not the prompt wrapping (attention.cc:85-88).
+    if is_vlm(config.model):
         inv_ts_g = jnp.asarray(
             ops.create_inv_timescale(lc.qkv_dim, half_rope, base_frequency=1e6)
         )

@@ -180,10 +180,10 @@ def _tp_forward_local(
 
     half_rope = lc.post_qk == PostQKType.HALF_ROPE
     inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
-    from gemma_tpu.models.configs import PromptWrapping
+    from gemma_tpu.models.configs import is_vlm
 
     inv_ts_g = None
-    if config.wrapping == PromptWrapping.GEMMA_VLM:
+    if is_vlm(config.model):  # attention.cc:85-88 (model, not wrapping)
         inv_ts_g = jnp.asarray(
             ops.create_inv_timescale(lc.qkv_dim, half_rope, base_frequency=1e6)
         )

@@ -101,9 +101,8 @@ class GemmaEngine:
 
                 def step(params, tokens, positions, valid, prefix_end,
                          cache):
-                    kv = tp_step(params, tokens, positions, valid,
-                                 prefix_end, cache.kv)
-                    return KVCache(kv, cache.seq_len)
+                    return tp_step(params, tokens, positions, valid,
+                                   prefix_end, cache)
 
                 self._prefill_fns[key] = step
                 return step
@@ -148,9 +147,8 @@ class GemmaEngine:
                 def step(params, prev_tokens, positions, cache):
                     valid = jnp.ones_like(prev_tokens, bool)
                     pe = jnp.zeros((prev_tokens.shape[0],), jnp.int32)
-                    logits, kv = tp_step(params, prev_tokens, positions,
-                                         valid, pe, cache.kv)
-                    return logits, KVCache(kv, cache.seq_len)
+                    return tp_step(params, prev_tokens, positions,
+                                   valid, pe, cache)
             else:
 
                 @jax.jit
@@ -238,6 +236,11 @@ class GemmaEngine:
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
         chunk_size = self.runtime.prefill_tbatch_size
+        if cache.kv_local is not None and chunk_size > cache.local_slack:
+            raise ValueError(
+                f"prefill_tbatch_size {chunk_size} exceeds the local KV "
+                f"ring slack {cache.local_slack}; create the cache with "
+                f"local_slack >= the chunk size (or split_local=False)")
 
         img = None
         if image_embeddings is not None:
@@ -428,7 +431,7 @@ class GemmaEngine:
             # The loop rebinds `cache` to fresh pytrees; write the final
             # state back so caller-held conversation caches stay live
             # (sessions/multiturn — the reference mutates KVCache in place).
-            user_cache.kv = cache.kv
+            user_cache.assign(cache)
         return outputs
 
     def _sample(self, logits: jnp.ndarray, pos: list[int],

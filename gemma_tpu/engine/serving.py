@@ -96,7 +96,7 @@ class ContinuousBatcher:
             prompts[i] = list(req.prompt_ids)
         cache, last = self.engine.prefill(prompts, self.cache,
                                           start_pos=start_pos)
-        self.cache.kv = cache.kv
+        self.cache.assign(cache)
         for i, req in new:
             slot = self._slots[i]
             slot.request = req
@@ -115,7 +115,7 @@ class ContinuousBatcher:
         logits, cache = decode(
             self.engine.params, jnp.asarray(prev[:, None]),
             jnp.asarray(np.asarray(pos, np.int32)[:, None]), self.cache)
-        self.cache.kv = cache.kv
+        self.cache.assign(cache)
         tokens, probs = self.engine._sample(logits, pos, None)
         config = self.engine.config
         for i, slot in enumerate(self._slots):

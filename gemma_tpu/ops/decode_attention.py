@@ -91,19 +91,18 @@ def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
     positions: [B, 1]; k, v: [B, 1, H, D].  In-place on TPU (the caller
     must not reuse the old cache object — the engine never does).
     """
-    from gemma_tpu.models.kv_cache import KVCache
-
     if use_pallas is None:
         use_pallas = _use_pallas() and cache.kv.shape[-1] % 128 == 0
     if not use_pallas:
         return cache.update(layer_idx, positions, k, v, valid=valid)
 
-    rows = (positions[:, 0] % cache.seq_len).astype(jnp.int32)
+    pool, idx, ring = cache.pool(layer_idx)
+    rows = (positions[:, 0] % ring).astype(jnp.int32)
     if valid is not None:
-        rows = jnp.where(valid[:, 0], rows, cache.garbage_row)
-    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1).astype(cache.kv.dtype)
-    kv = _kv_write_pallas(cache.kv, newkv, rows, layer_idx)
-    return KVCache(kv, cache.seq_len)
+        rows = jnp.where(valid[:, 0], rows, ring)
+    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1).astype(pool.dtype)
+    return cache._replace_pool(layer_idx,
+                               _kv_write_pallas(pool, newkv, rows, idx))
 
 
 # ---------------------------------------------------------------------------
@@ -192,11 +191,12 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
     q: [B, 1, heads, D] (RoPE'd and scaled); positions: [B, 1].
     Returns [B, 1, heads, D] f32.
     """
+    pool, idx, ring = cache.pool(layer_idx)
     if use_pallas is None:
         # Mosaic needs lane-aligned head dims; tiny test configs fall back.
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
     if use_pallas:
-        _, _, _, kvh_, s_alloc_, d_ = cache.kv.shape
+        _, _, _, kvh_, s_alloc_, d_ = pool.shape
         panel = kvh_ * s_alloc_ * d_ * 2 * 2 * 2  # K+V, bf16, double-buffer
         if panel > _PANEL_VMEM_BUDGET:
             from gemma_tpu.ops.flash_attention import flash_prefill_attention
@@ -206,23 +206,22 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
                 use_pallas=True)
     b, t, heads, d = q.shape
     assert t == 1, "decode_attention is the T == 1 path"
-    kv_heads = cache.kv.shape[3]
+    kv_heads = pool.shape[3]
     groups = heads // kv_heads
 
     if not use_pallas:
         from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
 
-        mask = attention_mask(positions, cache.seq_len, window, 0)
+        s_alloc = pool.shape[4]
+        mask = attention_mask(positions, ring, window, 0)
         mask = jnp.concatenate(
-            [mask, jnp.zeros((b, t, cache.s_alloc - cache.seq_len), bool)],
-            axis=-1,
-        )
+            [mask, jnp.zeros((b, t, s_alloc - ring), bool)], axis=-1)
         return dot_softmax_weighted_sum(
             q, cache.k_layer(layer_idx), cache.v_layer(layer_idx), mask,
             att_cap=att_cap)
 
     qk = q.reshape(b, kv_heads, groups, d)
     out = _decode_att_pallas(
-        cache.kv, qk, positions[:, 0].astype(jnp.int32), layer_idx,
-        cache.seq_len, window, float(att_cap))
+        pool, qk, positions[:, 0].astype(jnp.int32), idx,
+        ring, window, float(att_cap))
     return out.reshape(b, 1, heads, d)

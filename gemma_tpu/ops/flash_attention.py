@@ -166,20 +166,21 @@ def flash_prefill_attention(cache, layer_idx: int, q, positions,
     engine's chunked prefill always is; the XLA fallback is general).
     Returns [B, T, heads, D] f32.
     """
+    pool, idx, ring = cache.pool(layer_idx)
     if use_pallas is None:
         # Mosaic needs lane-aligned head dims; tiny test configs fall back.
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
     b, t, heads, d = q.shape
-    kvh = cache.kv.shape[3]
+    kvh = pool.shape[3]
     groups = heads // kvh
 
     if not use_pallas and not interpret:
         from gemma_tpu.ops.attention import (attention_mask,
                                              dot_softmax_weighted_sum)
 
-        mask = attention_mask(positions, cache.seq_len, window, prefix_end)
-        k_cache = cache.k_layer(layer_idx)[:, :, : cache.seq_len]
-        v_cache = cache.v_layer(layer_idx)[:, :, : cache.seq_len]
+        mask = attention_mask(positions, ring, window, prefix_end)
+        k_cache = cache.k_layer(layer_idx)[:, :, : ring]
+        v_cache = cache.v_layer(layer_idx)[:, :, : ring]
         return dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
                                         att_cap=att_cap)
 
@@ -193,8 +194,8 @@ def flash_prefill_attention(cache, layer_idx: int, q, positions,
         pe = jnp.full((b,), prefix_end, jnp.int32)
     else:
         pe = jnp.asarray(prefix_end, jnp.int32)
-    out = _flash_pallas(cache.kv, qg, base, newest, pe, groups, layer_idx,
-                        cache.seq_len, window, float(att_cap),
+    out = _flash_pallas(pool, qg, base, newest, pe, groups, idx,
+                        ring, window, float(att_cap),
                         block_t, block_s, interpret)
     # [B, KVH, T*G, D] -> [B, T, heads, D]
     out = (out.reshape(b, kvh, t, groups, d)

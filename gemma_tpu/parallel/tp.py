@@ -114,8 +114,8 @@ def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    kv = jax.device_put(cache.kv, NamedSharding(mesh, CACHE_SPEC))
-    return KVCache(kv, cache.seq_len)
+    sharding = NamedSharding(mesh, CACHE_SPEC)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), cache)
 
 
 def _localize(qt: QuantTensor) -> QuantTensor:
@@ -154,20 +154,19 @@ def _tp_forward_local(
     positions: jnp.ndarray,
     valid: jnp.ndarray,
     prefix_end: jnp.ndarray,
-    kv: jnp.ndarray,
+    cache: KVCache,
     *,
     config: ModelConfig,
     tp: int,
     return_logits: str,
-    seq_len: int,
-) -> tuple[jnp.ndarray | None, jnp.ndarray]:
-    """The shard_map body: everything here sees local shards."""
+) -> tuple:
+    """The shard_map body: everything here sees local shards (the cache
+    pytree's static aux — ring lengths, layer map — passes through)."""
     params = _localize_params(params)
     lc = config.layer_configs[0]
     b, t = tokens.shape
     model_dim = config.model_dim
     midx = jax.lax.axis_index("model")
-    cache = KVCache(kv, seq_len)
 
     # --- vocab-sharded embedding: masked local lookup + psum ---
     vocab_local = config.vocab_size // tp
@@ -259,7 +258,7 @@ def _tp_forward_local(
         x = x + ffw
 
     if return_logits == "none":
-        return cache.kv
+        return cache
     if return_logits == "last":
         x = x[:, -1:, :]
     x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
@@ -270,8 +269,8 @@ def _tp_forward_local(
     logits = ops.soft_cap(config.final_cap, logits)
     logits = logits.reshape(x_bf.shape[0], x_bf.shape[1], -1)
     if return_logits == "last":
-        return logits[:, 0], cache.kv
-    return logits, cache.kv
+        return logits[:, 0], cache
+    return logits, cache
 
 
 def _pos_encode(x, positions, inv_timescale, mul, post_qk):
@@ -289,17 +288,18 @@ def build_tp_step(
     seq_len: int | None = None,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
-    kv) -> (logits, kv) — or just kv when return_logits == "none" (prefill).
-    `params`/`kv` must be sharded with `shard_params`/`shard_cache`;
-    tokens/positions/valid are [B, T] with B divisible by the data axis;
-    `seq_len` is the cache's logical ring length (KVCache.seq_len).
+    cache) -> (logits, cache) — or just the cache when return_logits ==
+    "none" (prefill).  `params`/`cache` must be sharded with
+    `shard_params`/`shard_cache`; tokens/positions/valid are [B, T] with B
+    divisible by the data axis.  `seq_len` is unused (the cache pytree
+    carries its ring lengths) and kept for API compatibility.
     """
+    del seq_len
     tp = mesh.shape["model"]
     specs = tp_layout(params, config, tp)
     body = functools.partial(
         _tp_forward_local, config=config, tp=tp,
         return_logits=return_logits,
-        seq_len=seq_len or config.max_seq_len,
     )
     if return_logits == "none":
         out_specs: Any = CACHE_SPEC
@@ -314,7 +314,7 @@ def build_tp_step(
             P("data", None),
             P("data", None),
             P("data"),
-            CACHE_SPEC,
+            CACHE_SPEC,  # tree prefix: applies to every cache pool
         ),
         out_specs=out_specs,
         check_vma=False,

@@ -88,10 +88,11 @@ def test_tp_matches_single_device(kind):
     p_sh = shard_params(params, config, mesh)
     kv_sh = shard_cache(KVCache.create(config, batch, seq_len), mesh)
     step = build_tp_step(p_sh, config, mesh, return_logits="last", seq_len=seq_len)
-    tp_logits, tp_kv = step(
+    tp_logits, tp_cache = step(
         p_sh, jnp.asarray(tokens), jnp.asarray(positions),
-        jnp.asarray(valid), jnp.asarray(prefix_end), kv_sh.kv,
+        jnp.asarray(valid), jnp.asarray(prefix_end), kv_sh,
     )
+    tp_kv = tp_cache.kv
 
     np.testing.assert_allclose(
         np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
@@ -126,7 +127,7 @@ def test_tp_decode_after_prefill():
 
     mesh = make_mesh(8, config)
     p_sh = shard_params(params, config, mesh)
-    kv = shard_cache(KVCache.create(config, batch, seq_len), mesh).kv
+    kv = shard_cache(KVCache.create(config, batch, seq_len), mesh)
     prefill = build_tp_step(p_sh, config, mesh, return_logits="none", seq_len=seq_len)
     decode = build_tp_step(p_sh, config, mesh, return_logits="last", seq_len=seq_len)
     kv = prefill(p_sh, jnp.asarray(tokens), jnp.asarray(positions),

@@ -89,12 +89,12 @@ def main() -> None:
         valid = jnp.ones((args.batch, 1), bool)
         pe = jnp.zeros((args.batch,), jnp.int32)
 
-        kv = cache.kv
-        logits, kv = decode(params, tokens, positions, valid, pe, kv)
+        logits, cache = decode(params, tokens, positions, valid, pe, cache)
         np.asarray(logits)  # sync
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            logits, kv = decode(params, tokens, positions, valid, pe, kv)
+            logits, cache = decode(params, tokens, positions, valid, pe,
+                                   cache)
         np.asarray(logits)
         dt = time.perf_counter() - t0
         tps = args.batch * args.steps / dt

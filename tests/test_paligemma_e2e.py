@@ -1,0 +1,114 @@
+"""End-to-end PaliGemma: tiny on-disk model with ViT tensors -> image QA."""
+
+import numpy as np
+import pytest
+
+from gemma_tpu.compression import Type, compress_tensor
+from gemma_tpu.gemma import Gemma
+from gemma_tpu.io.model_store import write_model
+from gemma_tpu.models.configs import (
+    LayerAttentionType,
+    LayerConfig,
+    Model,
+    ModelConfig,
+    PostNormType,
+    PromptWrapping,
+    QueryScaleType,
+)
+from gemma_tpu.paligemma.helper import PaliGemmaHelper
+from gemma_tpu.paligemma.image import Image
+
+from tests.test_tokenizer import tiny_proto
+
+VOCAB = 274
+D = 32           # LLM model_dim
+VD = 24          # vit model_dim
+VH, VQ, VFF = 2, 8, 48
+PATCH, IMG = 4, 8  # 2x2 = 4 patches
+
+
+def tiny_pali_file(tmp_path) -> str:
+    rng = np.random.default_rng(0)
+    lc = LayerConfig(model_dim=D, ff_hidden_dim=64, heads=2, kv_heads=1,
+                     qkv_dim=16, post_norm=PostNormType.SCALE)
+    config = ModelConfig(
+        model=Model.PALIGEMMA2_3B_224, model_dim=D, vocab_size=VOCAB,
+        max_seq_len=64, num_layers=1, att_cap=50.0, final_cap=30.0,
+        query_scale=QueryScaleType.SQRT_KEY_SIZE, weight=Type.SFP,
+        wrapping=PromptWrapping.PALIGEMMA, display_name="tiny-pali",
+    )
+    config.layer_configs = [lc]
+    config.attention_window_sizes = [64]
+    config.vit_config.model_dim = VD
+    config.vit_config.patch_width = PATCH
+    config.vit_config.image_size = IMG
+    config.vit_config.seq_len = (IMG // PATCH) ** 2
+    config.vit_config.pool_dim = 1
+    config.vit_config.layer_configs = [
+        LayerConfig(model_dim=VD, ff_hidden_dim=VFF, heads=VH, kv_heads=VH,
+                    qkv_dim=VQ, ff_biases=True, type=LayerAttentionType.VIT)
+    ]
+
+    def t(name, *shape, sigma=0.3):
+        return compress_tensor(Type.SFP, name,
+                               rng.normal(0, sigma, shape).astype(np.float32))
+
+    def f32(name, *shape, sigma=0.1):
+        return compress_tensor(Type.F32, name,
+                               rng.normal(0, sigma, shape).astype(np.float32))
+
+    tensors = [
+        t("c_embedding", VOCAB, D, sigma=1.0),
+        f32("c_final_norm", 1, D),
+        t("qkv1_w_0", 2 * 16, D),
+        t("qkv2_w_0", 2 * 1 * 16, D),
+        t("att_w_0", D, 2 * 16),
+        t("gating1_w_0", 64, D),
+        t("gating2_w_0", 64, D),
+        t("linear_w_0", D, 64),
+        f32("pre_att_ns_0", 1, D),
+        f32("pre_ff_ns_0", 1, D),
+        f32("post_att_ns_0", 1, D),
+        f32("post_ff_ns_0", 1, D),
+        # ViT globals
+        t("img_emb_kernel", VD, PATCH * PATCH * 3),
+        f32("img_emb_bias", 1, VD),
+        f32("img_pos_emb", config.vit_config.seq_len, VD),
+        f32("enc_norm_scale", 1, VD),
+        f32("enc_norm_bias", 1, VD),
+        t("img_head_kernel", D, VD),
+        f32("img_head_bias", 1, D),
+        # ViT layer 0
+        t("qkv_ein_w_0", VH * 3 * VQ, VD),
+        f32("qkv_ein_b_0", 1, VH * 3 * VQ),
+        t("attn_out_w_0", VD, VH * VQ),
+        f32("attn_out_b_0", 1, VD),
+        t("linear_0_w_0", VFF, VD),
+        f32("linear_0_b_0", 1, VFF),
+        t("linear_1_w_0", VD, VFF),
+        f32("linear_1_b_0", 1, VD),
+        f32("ln_0_scale_0", 1, VD),
+        f32("ln_0_bias_0", 1, VD),
+        f32("ln_1_scale_0", 1, VD),
+        f32("ln_1_bias_0", 1, VD),
+    ]
+    path = str(tmp_path / "pali.sbs")
+    write_model(path, config, tensors, tokenizer_proto=tiny_proto())
+    return path
+
+
+def test_paligemma_image_qa(tmp_path):
+    rng = np.random.default_rng(1)
+    g = Gemma.load(tiny_pali_file(tmp_path))
+    g.runtime.seq_len = 64
+    g.runtime.prefill_tbatch_size = 16
+    assert g.params.vit is not None
+    assert len(g.params.vit.layers) == 1
+
+    helper = PaliGemmaHelper(g)
+    image = Image.from_array(rng.integers(0, 256, (11, 13, 3)))
+    tokens = helper.image_tokens(image)
+    assert tokens.shape == (4, D)
+
+    text = helper.query(image, "hello", max_generated_tokens=4)
+    assert isinstance(text, str)

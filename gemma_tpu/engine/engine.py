@@ -236,6 +236,11 @@ class GemmaEngine:
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
         chunk_size = self.runtime.prefill_tbatch_size
+        if any(pe > 0 for pe in prefix_end):
+            # Prefix-LM queries attend FORWARD within the prefix, so every
+            # prefix row must be written in the same chunk (the reference
+            # sets prefill_tbatch_size = prompt_size, run.cc:199-206).
+            chunk_size = max(chunk_size, max(prefix_end))
         if cache.kv_local is not None and chunk_size > cache.local_slack:
             raise ValueError(
                 f"prefill_tbatch_size {chunk_size} exceeds the local KV "

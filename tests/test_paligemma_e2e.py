@@ -112,3 +112,24 @@ def test_paligemma_image_qa(tmp_path):
 
     text = helper.query(image, "hello", max_generated_tokens=4)
     assert isinstance(text, str)
+
+
+def test_prefix_spanning_chunks(tmp_path):
+    """Prefix-LM prompts longer than prefill_tbatch must still see the
+    whole prefix (the engine widens the chunk; gemma.cc:199-206)."""
+    rng = np.random.default_rng(2)
+    g = Gemma.load(tiny_pali_file(tmp_path))
+    g.runtime.seq_len = 64
+    prompt = [0] * 4 + [2] + list(rng.integers(5, 100, 25))  # 30 tokens
+    prefix_end = len(prompt)
+    img_emb = rng.normal(0, 0.3, (4, D)).astype(np.float32)
+
+    def run(tbatch):
+        g.runtime.prefill_tbatch_size = tbatch
+        g.engine._prefill_fns.clear()
+        return g.generate(prompt, max_generated_tokens=4,
+                          prefix_end=prefix_end, image_embeddings=img_emb)
+
+    want = run(len(prompt))  # single chunk covers the prefix
+    got = run(8)             # would split the prefix without the fix
+    assert got == want

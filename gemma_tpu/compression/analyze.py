@@ -50,7 +50,7 @@ def main(argv=None) -> None:
                    help="codec for distortion stats ('' to skip)")
     ns = p.parse_args(argv)
 
-    from gemma_tpu.compression import Type, type_from_name
+    from gemma_tpu.compression import type_from_name
     from gemma_tpu.io.blob_store import BlobReader
     from gemma_tpu.io.model_store import ModelStore
 

@@ -8,7 +8,6 @@ import dataclasses
 import time
 from typing import Sequence
 
-from gemma_tpu.engine.timing import TimingInfo
 from gemma_tpu.models.tokenizer import BOS_ID, wrap_and_tokenize
 
 

@@ -10,7 +10,6 @@ BlobReader -> ModelStore (config/tokenizer/TOC) -> device Params -> engine.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Sequence
 
 from gemma_tpu.engine.engine import GemmaEngine, RuntimeConfig

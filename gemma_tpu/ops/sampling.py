@@ -40,7 +40,10 @@ def sample_top_k(
     """Top-k sampling over the last axis; returns (token, prob).
 
     Equivalent to FusedSoftmaxAndSampleTopK (ops-inl.h:1375-1398): softmax
-    restricted to the top-k logits, then temperature-adjusted categorical.
+    restricted to the top-k logits, then temperature-adjusted categorical
+    with create_distribution's p^(1/T) re-normalization (ops-inl.h:1314-1334;
+    the fused path's uniform exp-scaling by 1/T cancels in normalization and
+    is a no-op — this implements the canonical SampleTopK semantics).
     """
     lf = logits.astype(jnp.float32)
     topk_logits, topk_idx = jax.lax.top_k(lf, top_k)

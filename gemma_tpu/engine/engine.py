@@ -21,6 +21,7 @@ counter PRNG (gemma.cc:459-485).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Sequence
 
@@ -121,7 +122,10 @@ class GemmaEngine:
                     return cache
             else:
 
-                @jax.jit
+                # The cache is donated: the update aliases in place on
+                # runtimes that honor donation (the engine never reuses the
+                # input cache object's old buffers).
+                @functools.partial(jax.jit, donate_argnums=(5,))
                 def step(params, tokens, positions, valid, prefix_end, cache):
                     _, cache = forward(
                         params, tokens, positions, cache, config,
@@ -151,7 +155,7 @@ class GemmaEngine:
                                    valid, pe, cache)
             else:
 
-                @jax.jit
+                @functools.partial(jax.jit, donate_argnums=(3,))
                 def step(params, prev_tokens, positions, cache):
                     logits, cache = forward(
                         params, prev_tokens, positions, cache, config,
@@ -173,7 +177,7 @@ class GemmaEngine:
             top_k, temperature = rt.top_k, rt.temperature
             sampler = sampling.make_sampler(top_k, temperature)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(3,))
             def run(params, prev, pos, cache, seed):
                 def body(carry, _):
                     prev, pos, cache = carry

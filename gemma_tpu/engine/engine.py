@@ -91,19 +91,17 @@ class GemmaEngine:
             config = self.config
 
             if self.mesh is not None:
-                if with_image:
-                    raise NotImplementedError(
-                        "image prompts on a mesh: planned")
                 from gemma_tpu.parallel import build_tp_step
 
                 tp_step = build_tp_step(self.params, config, self.mesh,
                                         return_logits="none",
-                                        seq_len=self.runtime.seq_len)
+                                        seq_len=self.runtime.seq_len,
+                                        with_image=with_image)
 
                 def step(params, tokens, positions, valid, prefix_end,
-                         cache):
+                         cache, *image_args):
                     return tp_step(params, tokens, positions, valid,
-                                   prefix_end, cache)
+                                   prefix_end, cache, *image_args)
 
                 self._prefill_fns[key] = step
                 return step

@@ -155,6 +155,8 @@ def _tp_forward_local(
     valid: jnp.ndarray,
     prefix_end: jnp.ndarray,
     cache: KVCache,
+    image_embeddings: jnp.ndarray | None = None,
+    image_slot_mask: jnp.ndarray | None = None,
     *,
     config: ModelConfig,
     tp: int,
@@ -176,6 +178,9 @@ def _tp_forward_local(
     x = embed_tokens(params.embedding, clamped, model_dim)
     x = jnp.where(in_range[..., None], x, 0.0)
     x = jax.lax.psum(x, "model")
+    if image_embeddings is not None and image_slot_mask is not None:
+        # Image rows replicated over the model axis (gemma.cc:144-157).
+        x = jnp.where(image_slot_mask[..., None], image_embeddings, x)
 
     half_rope = lc.post_qk == PostQKType.HALF_ROPE
     inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
@@ -286,6 +291,7 @@ def build_tp_step(
     mesh: Mesh,
     return_logits: str = "last",
     seq_len: int | None = None,
+    with_image: bool = False,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
     cache) -> (logits, cache) — or just the cache when return_logits ==
@@ -305,17 +311,20 @@ def build_tp_step(
         out_specs: Any = CACHE_SPEC
     else:
         out_specs = (P("data", None), CACHE_SPEC)
+    in_specs = [
+        specs,
+        P("data", None),
+        P("data", None),
+        P("data", None),
+        P("data"),
+        CACHE_SPEC,  # tree prefix: applies to every cache pool
+    ]
+    if with_image:
+        in_specs += [P("data", None, None), P("data", None)]
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            specs,
-            P("data", None),
-            P("data", None),
-            P("data", None),
-            P("data"),
-            CACHE_SPEC,  # tree prefix: applies to every cache pool
-        ),
+        in_specs=tuple(in_specs),
         out_specs=out_specs,
         check_vma=False,
     )

@@ -43,3 +43,20 @@ def test_mesh_engine_streaming(engines):
         stream_token=lambda qi, pos, tok, p: (seen.append((qi, tok)), True)[1],
     )
     assert seen
+
+
+def test_mesh_image_splice(engines):
+    """Image embeddings splice identically on the mesh."""
+    single, sharded = engines
+    rng = np.random.default_rng(7)
+    d = single.config.model_dim
+    img = rng.normal(0, 0.5, (3, d)).astype(np.float32)
+    prompts = [[2, 5, -2, -2, -2, 7], [3, -2, -2, -2, 9, 11],
+               [2, 2, -2, -2, -2, 2], [4, -2, -2, -2, 4, 4]]
+    want = single.generate_batch([list(p) for p in prompts],
+                                 max_generated_tokens=3,
+                                 image_embeddings=img)
+    got = sharded.generate_batch([list(p) for p in prompts],
+                                 max_generated_tokens=3,
+                                 image_embeddings=img)
+    assert got == want

@@ -164,25 +164,30 @@ class GemmaEngine:
             self._decode_fns[batch] = step
         return self._decode_fns[batch]
 
-    def _decode_chunk_fn(self, batch: int, k: int):
+    def _decode_chunk_fn(self, batch: int, k: int, with_mask: bool = False):
         """k decode+sample steps in one executable (lax.scan), returning
         tokens/probs [B, k] — amortizes per-dispatch latency for the host
-        loop while keeping per-(query, pos) sampling streams exact."""
+        loop while keeping per-(query, pos) sampling streams exact.
+
+        with_mask adds an allowed-token mask [V] applied to the logits
+        before sampling (vectorized TokenSet constraints stay chunked)."""
         rt = self.runtime
-        key = (batch, k, rt.top_k, rt.temperature)
+        key = (batch, k, rt.top_k, rt.temperature, with_mask)
         if key not in self._decode_chunk_fns:
             config = self.config
             top_k, temperature = rt.top_k, rt.temperature
             sampler = sampling.make_sampler(top_k, temperature)
 
             @functools.partial(jax.jit, donate_argnums=(3,))
-            def run(params, prev, pos, cache, seed):
+            def run(params, prev, pos, cache, seed, *mask):
                 def body(carry, _):
                     prev, pos, cache = carry
                     logits, cache = forward(
                         params, prev[:, None], pos[:, None], cache, config,
                         return_logits="last",
                     )
+                    if mask:
+                        logits = jnp.where(mask[0], logits, sampling.NEG_INF)
                     if top_k == 1:
                         tok, prob = sampling.top1(logits)
                     else:
@@ -202,9 +207,27 @@ class GemmaEngine:
 
     # --- public API ---
 
-    def new_cache(self, batch: int, seq_len: int | None = None) -> KVCache:
+    def new_cache(self, batch: int, seq_len: int | None = None,
+                  min_local_slack: int = 0) -> KVCache:
+        """Create a cache sized for this engine's prefill chunks.
+
+        Local rings get slack >= the largest prefill chunk the engine can
+        issue; prefix-LM prompts (PaliGemma) widen the chunk to prefix_end,
+        so callers that know it pass `min_local_slack`.  When the needed
+        slack leaves no room to split, KVCache.create degenerates to the
+        single full-length pool (correct, just larger).  PALIGEMMA-wrapped
+        models never split: their prefix (image + text) is unbounded and
+        must land in one chunk (run.cc:199-206).
+        """
+        from gemma_tpu.models.configs import PromptWrapping
+        from gemma_tpu.models.kv_cache import LOCAL_RING_SLACK
+
+        slack = max(LOCAL_RING_SLACK, self.runtime.prefill_tbatch_size,
+                    min_local_slack)
+        split = self.config.wrapping != PromptWrapping.PALIGEMMA
         cache = KVCache.create(self.config, batch,
-                               seq_len or self.runtime.seq_len)
+                               seq_len or self.runtime.seq_len,
+                               split_local=split, local_slack=slack)
         if self.mesh is not None:
             from gemma_tpu.parallel import shard_cache
 
@@ -326,6 +349,7 @@ class GemmaEngine:
         max_generated_tokens: int | None = None,
         stream_token: StreamFunc | None = None,
         accept_token: AcceptFunc | None = None,
+        allowed_tokens: Sequence[int] | None = None,
         cache: KVCache | None = None,
         start_pos: int = 0,
         prefix_end: int = 0,
@@ -338,6 +362,7 @@ class GemmaEngine:
             max_generated_tokens=max_generated_tokens,
             stream_token=stream_token,
             accept_token=accept_token,
+            allowed_tokens=allowed_tokens,
             cache=cache,
             start_pos=[start_pos],
             prefix_end=[prefix_end],
@@ -352,6 +377,7 @@ class GemmaEngine:
         max_generated_tokens: int | None = None,
         stream_token: StreamFunc | None = None,
         accept_token: AcceptFunc | None = None,
+        allowed_tokens: Sequence[int] | None = None,
         cache: KVCache | None = None,
         start_pos: Sequence[int] | None = None,
         prefix_end: Sequence[int] | None = None,
@@ -365,16 +391,51 @@ class GemmaEngine:
         timing = timing_info or TimingInfo(verbosity=0)
         timing.prefill_start = time.monotonic()
 
-        user_cache = cache
-        if cache is None:
-            cache = self.new_cache(batch)
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
+        user_cache = cache
+        if cache is None:
+            # Prefix-LM prompts widen the prefill chunk to prefix_end; size
+            # the local rings (or fall back to one pool) accordingly.
+            cache = self.new_cache(batch, min_local_slack=max(prefix_end))
 
+        allowed_mask = None
+        if allowed_tokens is not None:
+            # Vectorized TokenSet constraint (run_mmlu): one [V] bool mask
+            # applied to logits on device — no per-token Python callbacks.
+            m = np.zeros((self.config.vocab_size,), bool)
+            m[np.asarray(sorted(allowed_tokens), np.int64)] = True
+            allowed_mask = jnp.asarray(m)
+
+        cache_box = [cache]
+        try:
+            return self._generate_loop(
+                prompts, cache_box, start_pos, prefix_end, stream_token,
+                accept_token, max_gen, timing, image_embeddings,
+                allowed_mask)
+        finally:
+            timing.notify_generate_done()
+            if user_cache is not None and cache_box[0] is not user_cache:
+                # Rebind even when an exception / KeyboardInterrupt fires
+                # mid-loop, so a caller-held conversation cache tracks the
+                # newest buffers instead of donated (deleted) ones.  An
+                # exception *inside* a jitted step can still leave the last
+                # buffers consumed; callers should then discard the
+                # conversation (the reference mutates KVCache in place and
+                # has no such window, ADVICE r1).
+                user_cache.assign(cache_box[0])
+
+    def _generate_loop(self, prompts, cache_box, start_pos, prefix_end,
+                       stream_token, accept_token, max_gen, timing,
+                       image_embeddings, allowed_mask=None):
+        rt = self.runtime
+        batch = len(prompts)
+        cache = cache_box[0]
         with profiler.zone("Gen.Prefill"):
             cache, last_tokens = self.prefill(
                 prompts, cache, start_pos, prefix_end, stream_token,
                 image_embeddings=image_embeddings)
+        cache_box[0] = cache
         timing.notify_prefill(sum(len(p) - 1 for p in prompts))
 
         # Stream the last prompt token (gemma.cc:540-554).
@@ -406,15 +467,20 @@ class GemmaEngine:
                     logits, cache = self._decode_fn(batch)(
                         self.params, jnp.asarray(prev[:, None]),
                         jnp.asarray(positions[:, None]), cache)
+                cache_box[0] = cache
                 with profiler.zone("Gen.Sample"):
-                    tokens, probs = self._sample(logits, pos, accept_token)
+                    tokens, probs = self._sample(logits, pos, accept_token,
+                                                 allowed_mask)
                 tokens, probs = tokens[:, None], np.asarray(probs)[:, None]
             else:
-                run = self._decode_chunk_fn(batch, k)
+                run = self._decode_chunk_fn(batch, k,
+                                            allowed_mask is not None)
+                mask_args = () if allowed_mask is None else (allowed_mask,)
                 with profiler.zone("Gen.DecodeChunk"):
                     toks, prb, cache = run(
                         self.params, jnp.asarray(prev),
-                        jnp.asarray(positions), cache, rt.seed)
+                        jnp.asarray(positions), cache, rt.seed, *mask_args)
+                cache_box[0] = cache
                 tokens, probs = np.asarray(toks), np.asarray(prb)
             for i in range(k):
                 if not any(non_eos):
@@ -433,41 +499,63 @@ class GemmaEngine:
                     if self.config.is_eos(tok):
                         non_eos[qi] = False
             done += k
-        timing.notify_generate_done()
-        if user_cache is not None:
-            # The loop rebinds `cache` to fresh pytrees; write the final
-            # state back so caller-held conversation caches stay live
-            # (sessions/multiturn — the reference mutates KVCache in place).
-            user_cache.assign(cache)
         return outputs
 
     def _sample(self, logits: jnp.ndarray, pos: list[int],
-                accept_token: AcceptFunc | None):
+                accept_token: AcceptFunc | None,
+                allowed_mask: jnp.ndarray | None = None):
         rt = self.runtime
+        if allowed_mask is not None:
+            # Vectorized allowed-set constraint: mask once on device, then
+            # the standard samplers run unchanged (the TokenSet fast path of
+            # run_mmlu; equivalent to TopK-with-accept_token because top-k
+            # of masked logits == top-k of accepted tokens).
+            logits = jnp.where(allowed_mask, logits, sampling.NEG_INF)
         if accept_token is not None:
-            # Host-side constrained sampling (run_mmlu's accept_token).
-            arr = np.asarray(logits)
-            out_t, out_p = [], []
-            for qi in range(arr.shape[0]):
+            # Candidate-restricted constraint evaluation: the reference
+            # calls accept_token per token inside TopK (ops-inl.h:1336-1362)
+            # — cheap in-process C++; a Python callback over a 256K vocab is
+            # not.  Evaluate only the top candidates, widening on rejection;
+            # the result is identical because only the top-k *accepted*
+            # tokens can ever be sampled.
+            arr = np.asarray(logits, np.float32)
+            bsz, vocab = arr.shape
+            k = max(1, rt.top_k)
+            out_t = np.zeros(bsz, np.int32)
+            out_p = np.zeros(bsz, np.float32)
+            for qi in range(bsz):
                 row = arr[qi]
-                allowed = np.array(
-                    [accept_token(t, float(row[t])) for t in range(row.shape[0])]
-                )
-                row = np.where(allowed, row, -np.inf)
-                e = np.exp(row - row.max())
+                cand = min(vocab, max(64, 8 * k))
+                while True:
+                    part = np.argpartition(row, -cand)[-cand:]
+                    order = part[np.argsort(row[part])[::-1]]
+                    accepted = [int(t) for t in order
+                                if accept_token(int(t), float(row[t]))]
+                    if len(accepted) >= k or cand == vocab:
+                        break
+                    cand = min(vocab, cand * 8)
+                if not accepted:
+                    # Nothing accepted anywhere (the reference would read
+                    # uninitialized memory here): fall back to argmax.
+                    accepted = [int(order[0])]
+                accepted = accepted[:k]
+                # FusedSoftmaxAndSampleTopK semantics (ops-inl.h:1375-1398):
+                # softmax over the top-k accepted logits only.
+                lg = row[accepted]
+                e = np.exp(lg - lg.max())
                 probs = e / e.sum()
-                if rt.top_k == 1 or rt.temperature == 0.0:
-                    t = int(np.argmax(row))
+                if k == 1 or rt.temperature == 0.0:
+                    j = 0  # accepted is sorted by logit, descending
                 else:
-                    idx = np.argsort(row)[-rt.top_k:]
-                    p = probs[idx] ** (1.0 / rt.temperature)
+                    p = probs ** (1.0 / rt.temperature)
                     p /= p.sum()
                     key = sample_key(rt.seed, qi, pos[qi] + 1)
-                    u = np.asarray(jax.random.uniform(key))
-                    t = int(idx[np.searchsorted(np.cumsum(p), u)])
-                out_t.append(t)
-                out_p.append(float(probs[t]))
-            return np.asarray(out_t), np.asarray(out_p)
+                    u = float(jax.random.uniform(key))
+                    j = min(int(np.searchsorted(np.cumsum(p), u)),
+                            len(accepted) - 1)
+                out_t[qi] = accepted[j]
+                out_p[qi] = float(probs[j])
+            return out_t, out_p
 
         if rt.top_k == 1:
             tokens, probs = sampling.top1(logits)

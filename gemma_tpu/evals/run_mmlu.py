@@ -48,9 +48,11 @@ def run(env: GemmaEnv, samples: list[dict], verbosity: int = 1) -> float:
         correct_answer = ACCEPT_STRINGS[label]
         prompt = env.wrap_and_tokenize(sample["prompt"] + STEERING_SUFFIX)
 
+        # Vectorized TokenSet constraint: the mask is applied to the logits
+        # on device (no per-vocab Python callbacks, and decode stays
+        # chunked) — equivalent to run_mmlu.cc's accept_token TokenSet.
         out = gemma.generate(
-            prompt, max_generated_tokens=30,
-            accept_token=lambda tok, logit: tok in accept,
+            prompt, max_generated_tokens=30, allowed_tokens=accept,
         )
         text = env.string_from_tokens(
             [t for t in out if not gemma.config.is_eos(t)])

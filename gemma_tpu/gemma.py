@@ -85,8 +85,10 @@ class Gemma:
     def runtime(self) -> RuntimeConfig:
         return self.engine.runtime
 
-    def new_cache(self, batch: int = 1, seq_len: int | None = None) -> KVCache:
-        return self.engine.new_cache(batch, seq_len)
+    def new_cache(self, batch: int = 1, seq_len: int | None = None,
+                  min_local_slack: int = 0) -> KVCache:
+        return self.engine.new_cache(batch, seq_len,
+                                     min_local_slack=min_local_slack)
 
     def generate(self, prompt_ids: Sequence[int], **kw) -> list[int]:
         return self.engine.generate(prompt_ids, **kw)

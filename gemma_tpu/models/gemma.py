@@ -234,10 +234,13 @@ def forward(
     lc = config.layer_configs[0]
 
     x = embed_tokens(params.embedding, tokens, model_dim)
+    if config.absolute_pe:
+        # Applied BEFORE the image splice: EmbedMMToken returns before
+        # AddAbsolutePositionalEmbeddings for image rows (gemma.cc:144-157),
+        # so image tokens never get absolute PE.
+        x = x + _absolute_pe(positions, model_dim)
     if image_embeddings is not None and image_slot_mask is not None:
         x = jnp.where(image_slot_mask[..., None], image_embeddings, x)
-    if config.absolute_pe:
-        x = x + _absolute_pe(positions, model_dim)
 
     half_rope = lc.post_qk == PostQKType.HALF_ROPE
     inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))

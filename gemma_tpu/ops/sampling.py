@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 from gemma_tpu.ops.ops import softmax
 
+# Large-negative filler for masked-out logits (finite so softmax over a
+# fully-masked row cannot NaN); matches ops/attention.py's mask value.
+NEG_INF = -2.3819763e38
+
 
 def top1(logits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy: (token, prob). Maps Top1OfSoftmax (ops-inl.h:1228-1257)."""

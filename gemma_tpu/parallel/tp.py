@@ -178,6 +178,12 @@ def _tp_forward_local(
     x = embed_tokens(params.embedding, clamped, model_dim)
     x = jnp.where(in_range[..., None], x, 0.0)
     x = jax.lax.psum(x, "model")
+    if config.absolute_pe:
+        # Before the image splice — image rows get no absolute PE
+        # (gemma.cc:144-157); see models/gemma.py.
+        from gemma_tpu.models.gemma import _absolute_pe
+
+        x = x + _absolute_pe(positions, model_dim)
     if image_embeddings is not None and image_slot_mask is not None:
         # Image rows replicated over the model axis (gemma.cc:144-157).
         x = jnp.where(image_slot_mask[..., None], image_embeddings, x)

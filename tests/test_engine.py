@@ -127,11 +127,23 @@ def test_accept_token_constraint():
     engine, w, config = make_engine(rng)
     prompt = rng.integers(2, config.vocab_size, 4).tolist()
     allowed = {5, 6, 7}
-    out = engine.generate(
-        prompt, max_generated_tokens=4,
-        accept_token=lambda t, p: t in allowed,
-    )
+    calls = []
+
+    def accept(t, p):
+        calls.append(t)
+        return t in allowed
+
+    out = engine.generate(prompt, max_generated_tokens=4,
+                          accept_token=accept)
     assert all(t in allowed for t in out)
+    # Candidate-restricted evaluation: the callback must see only top
+    # candidates, never the whole vocab per step (VERDICT r1 item 7).
+    assert len(calls) < 4 * config.vocab_size
+
+    # The vectorized allowed-set mask must produce the same tokens.
+    out_mask = engine.generate(prompt, max_generated_tokens=4,
+                               allowed_tokens=allowed)
+    assert out_mask == out
 
 
 def test_top_k_sampling_runs():

@@ -110,3 +110,42 @@ def test_pooled_cache_on_mesh():
     assert tp_cache.kv_local is not None
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_engine_sizes_local_ring_for_prefix(setup):
+    """ADVICE r1 (high): PaliGemma2-shaped prompts (local-window layers +
+    prefix-LM) must not raise at default settings — generate_batch sizes the
+    local ring for the widened chunk, or falls back to one pool."""
+    from gemma_tpu.models.configs import PromptWrapping
+    from tests.test_model import random_weights, tiny_config, to_params
+
+    config = tiny_config(num_layers=2)
+    config.max_seq_len = 512
+    config.attention_window_sizes = [8, 512]
+    rng = np.random.default_rng(11)
+    params = to_params(random_weights(config, rng), config)
+    engine = GemmaEngine(params, config,
+                         RuntimeConfig(seq_len=512, prefill_tbatch_size=16))
+
+    # Default engine cache still splits (slack >= LOCAL_RING_SLACK).
+    c = engine.new_cache(1)
+    assert c.kv_local is not None and c.local_slack >= 256
+
+    # Explicit min_local_slack grows the ring.
+    c2 = engine.new_cache(1, min_local_slack=300)
+    assert c2.kv_local is not None and c2.seq_len_local >= 8 + 300
+
+    # Slack that leaves no room to split -> single-pool fallback.
+    c3 = engine.new_cache(1, min_local_slack=600)
+    assert c3.kv_local is None
+
+    # End-to-end: a prefix wider than the default slack (the repro that
+    # raised ValueError in round 1).
+    prompt = [int(t) for t in rng.integers(2, 100, 301)]
+    out = engine.generate(prompt, max_generated_tokens=2, prefix_end=301)
+    assert len(out) == 2
+
+    # PALIGEMMA wrapping never splits (unbounded image+text prefix).
+    config.wrapping = PromptWrapping.PALIGEMMA
+    engine_p = GemmaEngine(params, config, RuntimeConfig(seq_len=512))
+    assert engine_p.new_cache(1).kv_local is None

@@ -221,3 +221,30 @@ def test_prefix_lm_bidirectional():
     # except through K/V of earlier tokens (which are the same K/V values).
     assert not np.allclose(np.asarray(logits_causal)[0, 0],
                            np.asarray(logits_prefix)[0, 0])
+
+
+def test_absolute_pe_skips_image_rows():
+    """ADVICE r1: image rows must get NO absolute positional embedding —
+    EmbedMMToken returns before AddAbsolutePositionalEmbeddings for them
+    (gemma.cc:144-157).  With every slot an image row, logits must be
+    identical whether absolute_pe is on or off."""
+    rng = np.random.default_rng(23)
+    config = tiny_config(num_layers=1)
+    params = to_params(random_weights(config, rng), config)
+    b, t = 1, 4
+    tokens = jnp.zeros((b, t), jnp.int32)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    img = jnp.asarray(rng.normal(0, 0.5, (b, t, config.model_dim)),
+                      jnp.float32)
+    mask = jnp.ones((b, t), bool)
+
+    def run():
+        cache = KVCache.create(config, b, 32)
+        logits, _ = forward(params, tokens, positions, cache, config,
+                            image_embeddings=img, image_slot_mask=mask)
+        return np.asarray(logits)
+
+    config.absolute_pe = False
+    base = run()
+    config.absolute_pe = True
+    np.testing.assert_array_equal(run(), base)

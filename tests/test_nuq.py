@@ -1,6 +1,7 @@
 """NUQ codec tests, mirroring compression/nuq_test.cc (property-based)."""
 
 import numpy as np
+import pytest
 
 from gemma_tpu.compression import nuq, sfp
 
@@ -118,3 +119,22 @@ def test_device_layout_unaligned():
         for c in range(cols):
             got[r, c] = tables[r, c // 256, codes[r, c]]
     assert _snr(x, got) > 8
+
+
+def test_native_stream_matches_numpy_on_partial_groups():
+    """The native and numpy encoders must emit identical streams even for
+    tensors whose size is not a multiple of 256 (both pad the final group
+    with its max before clustering, mirroring nuq-inl.h:263-273)."""
+    import unittest.mock as mock
+
+    from gemma_tpu.compression import nuq_native
+
+    if nuq_native.lib() is None:
+        pytest.skip("native NUQ encoder unavailable")
+    rng = np.random.default_rng(17)
+    for n in (255, 300, 511, 513, 777):
+        x = rng.normal(0, 0.3, n).astype(np.float32).clip(-1.8, 1.8)
+        s_native = nuq.encode(x)
+        with mock.patch.object(nuq, "_native_cluster", lambda *a: None):
+            s_numpy = nuq.encode(x)
+        np.testing.assert_array_equal(s_native, s_numpy)

@@ -45,6 +45,7 @@ class InferenceArgs:
     prompt_file: str = field("", "File containing the prompt")
     eot_line: str = field("", "End-of-turn line marker for multiline input")
     verbosity: int = field(1, "0=min output, 1=standard, 2=debug")
+    kv_kind: str = field("bf16", "KV cache element kind: bf16|f32|i8")
 
 
 @dataclasses.dataclass
@@ -91,6 +92,7 @@ def runtime_from_args(inf: InferenceArgs):
         seed=inf.seed,
         verbosity=inf.verbosity,
         seq_len=inf.seq_len,
+        kv_kind=inf.kv_kind,
     )
 
 

@@ -58,6 +58,11 @@ class RuntimeConfig:
     # outputs are bit-identical to stepwise decode).  1 = per-token
     # streaming like the reference.
     decode_chunk: int = 4
+    # KV cache element kind: "bf16" (default), "f32" (the reference's KV_t,
+    # gemma/kv_cache.h:30 — for cross-entropy parity runs), or "i8"
+    # (per-(position, head) symmetric quantization, ops/kv_quant.py —
+    # halves KV HBM traffic again).
+    kv_kind: str = "bf16"
 
 
 class GemmaEngine:
@@ -227,7 +232,8 @@ class GemmaEngine:
         split = self.config.wrapping != PromptWrapping.PALIGEMMA
         cache = KVCache.create(self.config, batch,
                                seq_len or self.runtime.seq_len,
-                               split_local=split, local_slack=slack)
+                               split_local=split, local_slack=slack,
+                               kind=self.runtime.kv_kind)
         if self.mesh is not None:
             from gemma_tpu.parallel import shard_cache
 

@@ -164,9 +164,8 @@ def transformer_layer(
             kv_write_decode,
         )
 
-        cache = kv_write_decode(cache, layer_idx, positions,
-                                k.astype(cache.kv.dtype),
-                                v.astype(cache.kv.dtype), valid=valid)
+        cache = kv_write_decode(cache, layer_idx, positions, k, v,
+                                valid=valid)
         att_out = decode_attention(cache, layer_idx, q, positions, window,
                                    att_cap=config.att_cap)
     else:
@@ -174,8 +173,7 @@ def transformer_layer(
         # XLA fallback elsewhere) — ops/flash_attention.py.
         from gemma_tpu.ops.flash_attention import flash_prefill_attention
 
-        cache = cache.update(layer_idx, positions, k.astype(cache.kv.dtype),
-                             v.astype(cache.kv.dtype), valid=valid)
+        cache = cache.update(layer_idx, positions, k, v, valid=valid)
         att_out = flash_prefill_attention(
             cache, layer_idx, q, positions, window,
             att_cap=config.att_cap, prefix_end=prefix_end)

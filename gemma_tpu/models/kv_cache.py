@@ -10,7 +10,7 @@ TPU-first redesign: up to two batched pool tensors
     kv:       [batch, n_global_layers, 2, kv_heads, s_alloc, qkv_dim]
     kv_local: [batch, n_local_layers, 2, kv_heads, s_alloc_local, qkv_dim]
 
-in bf16 with [S, D] innermost, so one (batch, layer, k/v, head) slice is a
+with [S, D] innermost, so one (batch, layer, k/v, head) slice is a
 contiguous MXU-ready panel for the Pallas attention kernels.  Sliding-
 window layers only ever attend to the last `window` positions
 (attention.cc:167-170), so their rings are window + prefill_chunk rows —
@@ -24,7 +24,15 @@ reconstruction from the newest position is ring-length-agnostic.  One
 extra "garbage" row per pool absorbs writes from padded prefill slots.
 
 KV_t is f32 in the reference but written via `Compress` which can narrow;
-bf16 halves HBM traffic and cross-entropy parity is checked end-to-end.
+bf16 (default) halves HBM traffic, and kind="i8" halves it again with
+symmetric per-(position, head) scales in shadow arrays
+
+    kv_scale:  [batch, n_layers, 2, kv_heads, 1, s_alloc]  f32
+(rank-6 like the pools so one PartitionSpec covers every leaf on a mesh)
+
+that the attention kernels apply to their *outputs* (never dequantizing
+the [S, D] panels element-wise — see ops/kv_quant.py).  Cross-entropy
+drift per KV dtype is bounded by tests/test_parity_full.py.
 """
 
 from __future__ import annotations
@@ -54,21 +62,32 @@ class KVCache:
     # Local-ring headroom beyond the largest local window: the maximum
     # prefill chunk size that cannot clobber still-needed rows in-chunk.
     local_slack: int = 0
+    # Per-(b, layer, k/v, head, row) f32 scales; present iff kind == "i8".
+    kv_scale: jnp.ndarray | None = None
+    kv_local_scale: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        children = [self.kv] if self.kv_local is None else [self.kv, self.kv_local]
+        children = [self.kv, self.kv_local, self.kv_scale,
+                    self.kv_local_scale]
+        present = tuple(c is not None for c in children)
         aux = (self.seq_len, self.seq_len_local, self.layer_map,
-               self.local_slack, self.kv_local is not None)
-        return children, aux
+               self.local_slack, present)
+        return [c for c in children if c is not None], aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        seq_len, seq_len_local, layer_map, local_slack, has_local = aux
-        kv_local = children[1] if has_local else None
-        return cls(children[0], seq_len, kv_local, seq_len_local, layer_map,
-                   local_slack)
+        seq_len, seq_len_local, layer_map, local_slack, present = aux
+        it = iter(children)
+        kv, kv_local, kv_scale, kv_local_scale = (
+            next(it) if p else None for p in present)
+        return cls(kv, seq_len, kv_local, seq_len_local, layer_map,
+                   local_slack, kv_scale, kv_local_scale)
 
     # --- pool routing ---
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_scale is not None
 
     def pool(self, layer_idx: int) -> tuple[jnp.ndarray, int, int]:
         """(pool tensor, index within pool, pool ring length)."""
@@ -78,6 +97,14 @@ class KVCache:
         if is_local:
             return self.kv_local, idx, self.seq_len_local
         return self.kv, idx, self.seq_len
+
+    def pool_scale(self, layer_idx: int) -> jnp.ndarray | None:
+        """The scale array shadowing pool(layer_idx), or None."""
+        if self.kv_scale is None:
+            return None
+        if self.layer_map and self.layer_map[layer_idx][0]:
+            return self.kv_local_scale
+        return self.kv_scale
 
     def seq_for_layer(self, layer_idx: int) -> int:
         return self.pool(layer_idx)[2]
@@ -105,7 +132,15 @@ class KVCache:
         dtype=jnp.bfloat16,
         split_local: bool = True,
         local_slack: int = LOCAL_RING_SLACK,
+        kind: str | None = None,
     ) -> "KVCache":
+        """kind: "bf16" (default), "f32", or "i8" (quantized, shadow
+        scales); `dtype` is the legacy spelling of the non-quantized kinds.
+        """
+        if kind is not None:
+            dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                     "i8": jnp.int8}[kind]
+        quant = dtype == jnp.int8
         lc = config.layer_configs[0]
         seq_len = min(seq_len or config.max_seq_len, config.max_seq_len)
         n_layers = len(config.layer_configs)
@@ -120,8 +155,16 @@ class KVCache:
                 (batch, n, 2, lc.kv_heads, round_up(ring + 1, 16),
                  lc.qkv_dim), dtype)
 
+        def alloc_scale(n, ring):
+            if not quant:
+                return None
+            return jnp.zeros(
+                (batch, n, 2, lc.kv_heads, 1, round_up(ring + 1, 16)),
+                jnp.float32)
+
         if not use_local:
-            return cls(alloc(n_layers, seq_len), seq_len)
+            return cls(alloc(n_layers, seq_len), seq_len,
+                       kv_scale=alloc_scale(n_layers, seq_len))
 
         seq_local = max(local_windows) + local_slack
         layer_map = []
@@ -137,14 +180,16 @@ class KVCache:
             alloc(gi, seq_len), seq_len,
             alloc(li, seq_local), seq_local,
             tuple(layer_map), local_slack,
+            alloc_scale(gi, seq_len), alloc_scale(li, seq_local),
         )
 
     def copy(self) -> "KVCache":
         """Deep copy for conversation forking (kv_cache.cc:49-55)."""
+        cp = lambda a: None if a is None else jnp.array(a)
         return KVCache(
-            jnp.array(self.kv), self.seq_len,
-            None if self.kv_local is None else jnp.array(self.kv_local),
+            jnp.array(self.kv), self.seq_len, cp(self.kv_local),
             self.seq_len_local, self.layer_map, self.local_slack,
+            cp(self.kv_scale), cp(self.kv_local_scale),
         )
 
     def assign(self, other: "KVCache") -> None:
@@ -152,24 +197,43 @@ class KVCache:
         caller-held conversation caches)."""
         self.kv = other.kv
         self.kv_local = other.kv_local
+        self.kv_scale = other.kv_scale
+        self.kv_local_scale = other.kv_local_scale
 
-    def _replace_pool(self, layer_idx: int, pool: jnp.ndarray) -> "KVCache":
+    def _replace_pool(self, layer_idx: int, pool: jnp.ndarray,
+                      scale: jnp.ndarray | None = None) -> "KVCache":
+        new = dataclasses.replace(self)
         if self.layer_map and self.layer_map[layer_idx][0]:
-            return KVCache(self.kv, self.seq_len, pool, self.seq_len_local,
-                           self.layer_map, self.local_slack)
-        return KVCache(pool, self.seq_len, self.kv_local,
-                       self.seq_len_local, self.layer_map, self.local_slack)
+            new.kv_local = pool
+            if scale is not None:
+                new.kv_local_scale = scale
+        else:
+            new.kv = pool
+            if scale is not None:
+                new.kv_scale = scale
+        return new
 
     # --- reads ---
 
     def k_layer(self, layer_idx: int) -> jnp.ndarray:
-        """[batch, kv_heads, s_alloc, qkv_dim] key panel."""
+        """[batch, kv_heads, s_alloc, qkv_dim] key panel (dequantized when
+        the cache is i8 — fallback/test path; kernels use raw codes)."""
         pool, idx, _ = self.pool(layer_idx)
-        return pool[:, idx, 0]
+        if not self.quantized:
+            return pool[:, idx, 0]
+        from gemma_tpu.ops.kv_quant import dequantize_rows
+
+        return dequantize_rows(pool[:, idx, 0],
+                               self.pool_scale(layer_idx)[:, idx, 0, :, 0])
 
     def v_layer(self, layer_idx: int) -> jnp.ndarray:
         pool, idx, _ = self.pool(layer_idx)
-        return pool[:, idx, 1]
+        if not self.quantized:
+            return pool[:, idx, 1]
+        from gemma_tpu.ops.kv_quant import dequantize_rows
+
+        return dequantize_rows(pool[:, idx, 1],
+                               self.pool_scale(layer_idx)[:, idx, 1, :, 0])
 
     # --- writes ---
 
@@ -197,11 +261,28 @@ class KVCache:
         # [B, T, H, D] -> [B, 2, H, T, D]
         kv_new = jnp.stack([k, v], axis=1).swapaxes(2, 3)
 
+        if self.quantized:
+            from gemma_tpu.ops.kv_quant import quantize_rows
+
+            codes, scale = quantize_rows(kv_new)  # [B,2,H,T,D], [B,2,H,T]
+            scales_arr = self.pool_scale(layer_idx)
+
+            def per_q_s(sc_q, rows_q, new_q):
+                # sc_q: [2, H, 1, S]; scatter new_q [2, H, T] along S.
+                return sc_q.at[:, :, 0, rows_q].set(new_q)
+
+            new_scales = scales_arr.at[:, idx].set(
+                jax.vmap(per_q_s)(scales_arr[:, idx], rows, scale))
+            kv_new = codes
+        else:
+            new_scales = None
+
         def per_q(cache_q, rows_q, new_q):
             # cache_q: [2, H, S, D]; scatter new_q [2, H, T, D] along S.
             return cache_q.at[:, :, rows_q].set(new_q)
 
         updated = pool.at[:, idx].set(
-            jax.vmap(per_q)(pool[:, idx], rows, kv_new)
+            jax.vmap(per_q)(pool[:, idx], rows,
+                            kv_new.astype(pool.dtype))
         )
-        return self._replace_pool(layer_idx, updated)
+        return self._replace_pool(layer_idx, updated, new_scales)

@@ -107,3 +107,45 @@ def dot_softmax_weighted_sum(
     out = jnp.einsum("btkgs,bksd->btkgd", probs,
                      v_cache.astype(jnp.float32))
     return out.reshape(b, t, heads, d)
+
+
+def dot_softmax_weighted_sum_q(
+    q: jnp.ndarray,
+    k_codes: jnp.ndarray,
+    v_codes: jnp.ndarray,
+    scale_k: jnp.ndarray,
+    scale_v: jnp.ndarray,
+    mask: jnp.ndarray,
+    att_cap: float = 0.0,
+) -> jnp.ndarray:
+    """dot_softmax_weighted_sum over an int8-quantized KV cache.
+
+    k_codes, v_codes: [B, kv_heads, S, D] i8 raw codes
+    scale_k, scale_v: [B, kv_heads, S] f32 per-(position, head) scales
+
+    Output-scaled like the Pallas decode kernel (ops/kv_quant.py): scores
+    pick up scale_k per key column after the raw-code dot, and scale_v
+    folds into the probabilities before the weighted-V dot, so the [S, D]
+    panels are never dequantized element-wise.  Dots run q@bf16 x codes@
+    bf16 (i8 codes are exact in bf16), accumulating in f32, matching the
+    kernel's MXU inputs bit-for-bit.
+    """
+    b, t, heads, d = q.shape
+    kv_heads = k_codes.shape[1]
+    groups = heads // kv_heads
+    qg = (q.reshape(b, t, kv_heads, groups, d).astype(jnp.bfloat16)
+          .astype(jnp.float32))
+    scores = jnp.einsum("btkgd,bksd->btkgs", qg,
+                        k_codes.astype(jnp.float32))
+    scores = scores * scale_k[:, None, :, None, :]
+    if att_cap:
+        scores = soft_cap_op(att_cap, scores)
+    scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    probs = ((probs * scale_v[:, None, :, None, :])
+             .astype(jnp.bfloat16).astype(jnp.float32))
+    out = jnp.einsum("btkgs,bksd->btkgd", probs,
+                     v_codes.astype(jnp.float32))
+    return out.reshape(b, t, heads, d)

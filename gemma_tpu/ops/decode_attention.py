@@ -1,12 +1,12 @@
 """Pallas decode-phase attention + in-place KV row write.
 
 The decode step is HBM-bandwidth-bound on the KV cache: per layer it must
-read K and V once ([B, H, S, D] bf16 each) and write one new row.  XLA's
+read K and V once ([B, H, S, D] each) and write one new row.  XLA's
 batched-einsum lowering runs this ~4x off speed-of-light and its scatter
 copies the whole cache; these kernels run at ~85% of SOL (measured v5e)
 and write rows in place via input/output aliasing:
 
-  - `kv_write_decode`: grid (B,), read-modify-write of the 16-row tile
+  - `kv_write_decode`: grid (B,), read-modify-write of the sublane tile
     containing the target ring row; everything else aliases through
     untouched.  Replaces DotSoftmaxWeightedSum's RowPtrs KV scatter
     (gemma/attention.cc:264-283).
@@ -17,6 +17,12 @@ and write rows in place via input/output aliasing:
     flash_attention.cc / attention.cc:54-238 (numerically identical to
     ops/attention.py's XLA path, which remains the fallback for prefill
     and CPU).
+
+Quantized (i8) caches use the same kernels with per-(position, head)
+scale rows applied to the *outputs* (ops/kv_quant.py): scores pick up
+scale_k per key column, and scale_v folds into the probabilities before
+the weighted-V dot — the [S, D] panels feed the MXU as raw codes, so i8
+halves the attention HBM traffic with ~zero extra VPU work.
 
 Ring/window/prefix semantics match ops/attention.py:attention_mask: a
 cache row s holds absolute position key_abs(s) = newest - ((newest mod S -
@@ -40,6 +46,11 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _sublane(dtype) -> int:
+    """Native sublane tile height for a pool dtype."""
+    return {2: 16, 1: 32, 4: 8}[jnp.dtype(dtype).itemsize]
+
+
 # ---------------------------------------------------------------------------
 # In-place KV row write (decode, T == 1).
 # ---------------------------------------------------------------------------
@@ -53,10 +64,12 @@ def _kv_write_kernel(w: int, rows_ref, new_ref, kv_ref, o_ref):
     o_ref[...] = jnp.where(r == sub, new.astype(o_ref.dtype), kv_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("layer_idx",), donate_argnums=0)
-def _kv_write_pallas(kv, newkv, rows, layer_idx: int):
+@functools.partial(jax.jit, static_argnames=("layer_idx", "interpret"),
+                   donate_argnums=0)
+def _kv_write_pallas(kv, newkv, rows, layer_idx: int,
+                     interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
-    w = 16  # bf16 sublane tile
+    w = _sublane(kv.dtype)
 
     kernel = functools.partial(_kv_write_kernel, w)
     return pl.pallas_call(
@@ -81,15 +94,88 @@ def _kv_write_pallas(kv, newkv, rows, layer_idx: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(rows, newkv, kv)
+
+
+def _kv_write_q_kernel(w: int, h: int, rows_ref, newsc_ref, new_ref,
+                       kv_ref, sc_ref, okv_ref, osc_ref):
+    b = pl.program_id(0)
+    row = rows_ref[b]
+    sub = row % w
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
+    new = new_ref[...][None, :, :, :, None, :]  # [1,1,2,H,1,D]
+    okv_ref[...] = jnp.where(r == sub, new.astype(okv_ref.dtype),
+                             kv_ref[...])
+    # Scale row: lane-masked update per (k/v, head) from SMEM scalars —
+    # no cross-layout broadcasts (sublane-dim data never moves to lanes).
+    s_alloc = sc_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
+    hit = lane == row
+    for j in range(2):
+        for head in range(h):
+            old = sc_ref[0, 0, j, head]  # [1, S]
+            osc_ref[0, 0, j, head] = jnp.where(hit, newsc_ref[b, j, head],
+                                               old)
+
+
+@functools.partial(jax.jit, static_argnames=("layer_idx", "interpret"),
+                   donate_argnums=(0, 1))
+def _kv_write_q_pallas(kv, sc, newkv, newsc, rows, layer_idx: int,
+                       interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    w = _sublane(kv.dtype)
+
+    kernel = functools.partial(_kv_write_q_kernel, w, h)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 2, h, d),
+                             lambda i, rows, nsc: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, rows, nsc: (i, layer_idx, 0, 0,
+                                          rows[i] // w, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, 1, sc.shape[-1]),
+                    lambda i, rows, nsc: (i, layer_idx, 0, 0, 0, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, rows, nsc: (i, layer_idx, 0, 0,
+                                          rows[i] // w, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, 1, sc.shape[-1]),
+                    lambda i, rows, nsc: (i, layer_idx, 0, 0, 0, 0),
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+            jax.ShapeDtypeStruct(sc.shape, sc.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rows, newsc, newkv, kv, sc)
 
 
 def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
                     use_pallas: bool | None = None):
     """Write one ring row per query; returns the updated KVCache.
 
-    positions: [B, 1]; k, v: [B, 1, H, D].  In-place on TPU (the caller
-    must not reuse the old cache object — the engine never does).
+    positions: [B, 1]; k, v: [B, 1, H, D] (f32/bf16 — quantization to the
+    pool dtype happens here).  In-place on TPU (the caller must not reuse
+    the old cache object — the engine never does).
     """
     if use_pallas is None:
         use_pallas = _use_pallas() and cache.kv.shape[-1] % 128 == 0
@@ -100,9 +186,18 @@ def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
     rows = (positions[:, 0] % ring).astype(jnp.int32)
     if valid is not None:
         rows = jnp.where(valid[:, 0], rows, ring)
-    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1).astype(pool.dtype)
-    return cache._replace_pool(layer_idx,
-                               _kv_write_pallas(pool, newkv, rows, idx))
+    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1)  # [B, 2, H, D]
+    if cache.quantized:
+        from gemma_tpu.ops.kv_quant import quantize_rows
+
+        codes, scale = quantize_rows(newkv)
+        sc_arr = cache.pool_scale(layer_idx)
+        new_pool, new_sc = _kv_write_q_pallas(pool, sc_arr, codes, scale,
+                                              rows, idx)
+        return cache._replace_pool(layer_idx, new_pool, new_sc)
+    return cache._replace_pool(
+        layer_idx, _kv_write_pallas(pool, newkv.astype(pool.dtype), rows,
+                                    idx))
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +206,13 @@ def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
 
 
 def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
-                       att_cap: float, s_alloc: int,
-                       pos_ref, q_ref, k_ref, v_ref, o_ref):
+                       att_cap: float, s_alloc: int, quant: bool,
+                       *refs):
+    if quant:
+        pos_ref, q_ref, k_ref, v_ref, sck_ref, scv_ref, o_ref = refs
+    else:
+        pos_ref, q_ref, k_ref, v_ref, o_ref = refs
+        sck_ref = scv_ref = None
     b = pl.program_id(0)
     newest = pos_ref[b]
     start = jnp.maximum(newest - (window - 1), 0)
@@ -124,17 +224,22 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
         kh = k_ref[0, 0, 0, head]                 # [S, D]
         vh = v_ref[0, 0, 0, head]
         scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+            qh, kh.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [G, S]
+        if quant:
+            scores = scores * sck_ref[0, 0, 0, head]  # [1, S] broadcast
         if att_cap:
             scores = att_cap * jnp.tanh(scores / att_cap)
         scores = jnp.where(ok, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        probs = (e / e.sum(axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        probs = e / e.sum(axis=-1, keepdims=True)
+        if quant:
+            probs = probs * scv_ref[0, 0, 0, head]
         oh = jax.lax.dot_general(
-            probs, vh, (((1,), (0,)), ((), ())),
+            probs.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [G, D]
         o_ref[0, head * groups : (head + 1) * groups, :] = oh
@@ -142,15 +247,18 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap"),
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
+                     "interpret"),
 )
 def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
-                       window: int, att_cap: float):
+                       window: int, att_cap: float,
+                       interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
 
     kernel = functools.partial(
-        _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc)
+        _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc,
+        False)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -174,7 +282,58 @@ def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(pos, q, kv, kv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
+                     "interpret"),
+)
+def _decode_att_q_pallas(kv, sc, q, pos, layer_idx: int, seq_len: int,
+                         window: int, att_cap: float,
+                         interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = q.shape[2]
+    s_sc = sc.shape[-1]
+
+    kernel = functools.partial(
+        _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc,
+        True)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, groups, d), lambda i, pos: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, 1, s_sc),
+                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, 1, s_sc),
+                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h * groups, d), lambda i, pos: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pos, q, kv, kv, sc, sc)
 
 
 # Whole-[H, S, D] K/V panels (x2 for double buffering) must fit VMEM; past
@@ -197,7 +356,8 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0
     if use_pallas:
         _, _, _, kvh_, s_alloc_, d_ = pool.shape
-        panel = kvh_ * s_alloc_ * d_ * 2 * 2 * 2  # K+V, bf16, double-buffer
+        itemsize = jnp.dtype(pool.dtype).itemsize
+        panel = kvh_ * s_alloc_ * d_ * 2 * itemsize * 2  # K+V, dbl-buffer
         if panel > _PANEL_VMEM_BUDGET:
             from gemma_tpu.ops.flash_attention import flash_prefill_attention
 
@@ -216,12 +376,26 @@ def decode_attention(cache, layer_idx: int, q, positions, window: int,
         mask = attention_mask(positions, ring, window, 0)
         mask = jnp.concatenate(
             [mask, jnp.zeros((b, t, s_alloc - ring), bool)], axis=-1)
+        if cache.quantized:
+            from gemma_tpu.ops.attention import dot_softmax_weighted_sum_q
+
+            sc = cache.pool_scale(layer_idx)
+            return dot_softmax_weighted_sum_q(
+                q, pool[:, idx, 0], pool[:, idx, 1],
+                sc[:, idx, 0, :, 0], sc[:, idx, 1, :, 0], mask,
+                att_cap=att_cap)
         return dot_softmax_weighted_sum(
             q, cache.k_layer(layer_idx), cache.v_layer(layer_idx), mask,
             att_cap=att_cap)
 
     qk = q.reshape(b, kv_heads, groups, d)
-    out = _decode_att_pallas(
-        pool, qk, positions[:, 0].astype(jnp.int32), idx,
-        ring, window, float(att_cap))
+    if cache.quantized:
+        out = _decode_att_q_pallas(
+            pool, cache.pool_scale(layer_idx), qk,
+            positions[:, 0].astype(jnp.int32), idx, ring, window,
+            float(att_cap))
+    else:
+        out = _decode_att_pallas(
+            pool, qk, positions[:, 0].astype(jnp.int32), idx,
+            ring, window, float(att_cap))
     return out.reshape(b, 1, heads, d)

@@ -37,9 +37,15 @@ def _use_pallas() -> bool:
 
 
 def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
-                  bt: int, bs: int, n_sblocks: int,
-                  newest_ref, pe_ref, base_ref, q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, l_ref):
+                  bt: int, bs: int, n_sblocks: int, quant: bool,
+                  *refs):
+    if quant:
+        (newest_ref, pe_ref, base_ref, q_ref, k_ref, v_ref, sck_ref,
+         scv_ref, o_ref, acc_ref, m_ref, l_ref) = refs
+    else:
+        (newest_ref, pe_ref, base_ref, q_ref, k_ref, v_ref, o_ref,
+         acc_ref, m_ref, l_ref) = refs
+        sck_ref = scv_ref = None
     b = pl.program_id(0)
     tb = pl.program_id(2)
     sb = pl.program_id(3)
@@ -54,6 +60,10 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
     q = q_ref[0, 0].astype(jnp.bfloat16)  # [rows, D], already t-major
     k = k_ref[0, 0, 0, 0]  # [bs, D]
     v = v_ref[0, 0, 0, 0]
+    if quant:
+        # i8 codes are exact in bf16; scales apply to the outputs below.
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
 
     # Mask (see attention_mask): absolute position of each cache row.
     # Built directly at [rows, bs] with row -> t = row // groups (q rows are
@@ -72,6 +82,9 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if quant:
+        # Output scaling (ops/kv_quant.py): one f32 scale per key column.
+        scores = scores * sck_ref[0, 0, 0, 0]  # [1, bs] broadcast
     if att_cap:
         scores = att_cap * jnp.tanh(scores / att_cap)
     scores = jnp.where(ok, scores, NEG_INF)
@@ -86,8 +99,11 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
     alpha = jnp.where(m_old == NEG_INF, 0.0, alpha)
     l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), m_old.shape)
+    # scale_v folds into the probabilities (NOT into l: the softmax
+    # denominator is over unscaled p) before the weighted-V dot.
+    pv = p * scv_ref[0, 0, 0, 0] if quant else p
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        pv.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[...] = m_new
 
@@ -103,13 +119,16 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
     static_argnames=("groups", "layer_idx", "seq_len", "window", "att_cap",
                      "block_t", "block_s", "interpret"),
 )
-def _flash_pallas(kv, q, base, newest, pe, groups: int, layer_idx: int,
+def _flash_pallas(kv, sc, q, base, newest, pe, groups: int, layer_idx: int,
                   seq_len: int, window: int, att_cap: float, block_t: int,
                   block_s: int, interpret: bool):
     # q: [B, KVH, T*G, D] (t-major rows: row = t * G + g) so kernel blocks
     # are plain 2-D [rows, D] tiles — no in-kernel relayout.
+    # sc: per-(position, head) scale shadow [B, L, 2, KVH, 1, s_alloc] when
+    # the cache is quantized, else None.
     b, kvh, tg, d = q.shape
     s_alloc = kv.shape[4]
+    quant = sc is not None
     t = tg // groups
     bt = min(block_t, t)
     while t % bt:
@@ -120,20 +139,31 @@ def _flash_pallas(kv, q, base, newest, pe, groups: int, layer_idx: int,
     n_sblocks = -(-s_alloc // bs)
 
     kernel = functools.partial(
-        _flash_kernel, groups, seq_len, window, att_cap, bt, bs, n_sblocks)
+        _flash_kernel, groups, seq_len, window, att_cap, bt, bs, n_sblocks,
+        quant)
+    in_specs = [
+        pl.BlockSpec((1, 1, bt * groups, d),
+                     lambda i, h, tb, sb, nw, pe, base: (i, h, tb, 0)),
+        pl.BlockSpec((1, 1, 1, 1, bs, d),
+                     lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 0, h, sb, 0)),
+        pl.BlockSpec((1, 1, 1, 1, bs, d),
+                     lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 1, h, sb, 0)),
+    ]
+    operands = [q, kv, kv]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, 1, bs),
+                         lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 0, h, 0, sb)),
+            pl.BlockSpec((1, 1, 1, 1, 1, bs),
+                         lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 1, h, 0, sb)),
+        ]
+        operands += [sc, sc]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, kvh, t // bt, n_sblocks),
-            in_specs=[
-                pl.BlockSpec((1, 1, bt * groups, d),
-                             lambda i, h, tb, sb, nw, pe, base: (i, h, tb, 0)),
-                pl.BlockSpec((1, 1, 1, 1, bs, d),
-                             lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 0, h, sb, 0)),
-                pl.BlockSpec((1, 1, 1, 1, bs, d),
-                             lambda i, h, tb, sb, nw, pe, base: (i, layer_idx, 1, h, sb, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, bt * groups, d),
                 lambda i, h, tb, sb, nw, pe, base: (i, h, tb, 0)),
@@ -149,7 +179,7 @@ def _flash_pallas(kv, q, base, newest, pe, groups: int, layer_idx: int,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(newest, pe, base, q, kv, kv)
+    )(newest, pe, base, *operands)
     return out
 
 
@@ -176,9 +206,16 @@ def flash_prefill_attention(cache, layer_idx: int, q, positions,
 
     if not use_pallas and not interpret:
         from gemma_tpu.ops.attention import (attention_mask,
-                                             dot_softmax_weighted_sum)
+                                             dot_softmax_weighted_sum,
+                                             dot_softmax_weighted_sum_q)
 
         mask = attention_mask(positions, ring, window, prefix_end)
+        if cache.quantized:
+            sc = cache.pool_scale(layer_idx)
+            return dot_softmax_weighted_sum_q(
+                q, pool[:, idx, 0, :, :ring], pool[:, idx, 1, :, :ring],
+                sc[:, idx, 0, :, 0, :ring], sc[:, idx, 1, :, 0, :ring],
+                mask, att_cap=att_cap)
         k_cache = cache.k_layer(layer_idx)[:, :, : ring]
         v_cache = cache.v_layer(layer_idx)[:, :, : ring]
         return dot_softmax_weighted_sum(q, k_cache, v_cache, mask,
@@ -194,9 +231,9 @@ def flash_prefill_attention(cache, layer_idx: int, q, positions,
         pe = jnp.full((b,), prefix_end, jnp.int32)
     else:
         pe = jnp.asarray(prefix_end, jnp.int32)
-    out = _flash_pallas(pool, qg, base, newest, pe, groups, idx,
-                        ring, window, float(att_cap),
-                        block_t, block_s, interpret)
+    out = _flash_pallas(pool, cache.pool_scale(layer_idx), qg, base,
+                        newest, pe, groups, idx, ring, window,
+                        float(att_cap), block_t, block_s, interpret)
     # [B, KVH, T*G, D] -> [B, T, heads, D]
     out = (out.reshape(b, kvh, t, groups, d)
            .transpose(0, 2, 1, 3, 4).reshape(b, t, heads, d))

@@ -234,17 +234,14 @@ def _tp_forward_local(
                 kv_write_decode,
             )
 
-            cache = kv_write_decode(cache, layer_idx, positions,
-                                    k.astype(cache.kv.dtype),
-                                    v.astype(cache.kv.dtype), valid=valid)
+            cache = kv_write_decode(cache, layer_idx, positions, k, v,
+                                    valid=valid)
             att = decode_attention(cache, layer_idx, q, positions, window,
                                    att_cap=config.att_cap)
         else:
             from gemma_tpu.ops.flash_attention import flash_prefill_attention
 
-            cache = cache.update(layer_idx, positions,
-                                 k.astype(cache.kv.dtype),
-                                 v.astype(cache.kv.dtype), valid=valid)
+            cache = cache.update(layer_idx, positions, k, v, valid=valid)
             att = flash_prefill_attention(
                 cache, layer_idx, q, positions, window,
                 att_cap=config.att_cap, prefix_end=prefix_end)

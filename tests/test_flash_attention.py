@@ -94,7 +94,7 @@ def test_decode_attention_interpret_matches_reference():
         groups = qq.shape[2]
         kernel = functools.partial(
             da._decode_att_kernel, h, groups, seq_len, window, att_cap,
-            s_alloc)
+            s_alloc, False)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

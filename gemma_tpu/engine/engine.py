@@ -181,6 +181,20 @@ class GemmaEngine:
         if key not in self._decode_chunk_fns:
             config = self.config
             top_k, temperature = rt.top_k, rt.temperature
+
+            if self.mesh is not None:
+                from gemma_tpu.parallel import build_tp_decode_chunk
+
+                tp_run = build_tp_decode_chunk(
+                    self.params, config, self.mesh, k, top_k, temperature,
+                    with_mask=with_mask)
+
+                def run(params, prev, pos, cache, seed, *mask):
+                    return tp_run(params, prev, pos, cache,
+                                  jnp.int32(seed), *mask)
+
+                self._decode_chunk_fns[key] = run
+                return run
             sampler = sampling.make_sampler(top_k, temperature)
 
             @functools.partial(jax.jit, donate_argnums=(3,))
@@ -458,10 +472,12 @@ class GemmaEngine:
         timing.generate_start = time.monotonic()
 
         # Chunked decode (device-side sampling loop) when the host cannot
-        # influence tokens mid-chunk; accept_token and mesh mode take the
-        # one-step path.  stream_token still fires per token, in bursts.
+        # influence tokens mid-chunk; accept_token takes the one-step path.
+        # stream_token still fires per token, in bursts.  Mesh mode chunks
+        # too: the whole scan runs inside one shard_map program
+        # (parallel/tp.py:build_tp_decode_chunk).
         chunk = max(1, rt.decode_chunk)
-        if accept_token is not None or self.mesh is not None:
+        if accept_token is not None:
             chunk = 1
 
         done = 0
@@ -582,13 +598,24 @@ class GemmaEngine:
         Returns [batch, max_steps] tokens; no EOS early-exit or streaming --
         this is the throughput path for benchmarks.
         """
-        if self.mesh is not None:
-            raise NotImplementedError("generate_fast on a mesh: use "
-                                      "scripts/scaling_bench.py")
         batch = len(prompts)
         cache = self.new_cache(batch)
         cache, last_tokens = self.prefill(prompts, cache)
         pos0 = np.asarray([len(p) - 1 for p in prompts], np.int32)
+        if self.mesh is not None:
+            # Whole greedy loop in one sharded executable (VERDICT r1 #3:
+            # mesh decode amortizes dispatch exactly like single-chip).
+            from gemma_tpu.parallel import build_tp_decode_chunk
+
+            mkey = ("mesh", batch, max_steps)
+            if mkey not in self._generate_fns:
+                self._generate_fns[mkey] = build_tp_decode_chunk(
+                    self.params, self.config, self.mesh, max_steps,
+                    top_k=1, temperature=0.0)
+            toks, _, _ = self._generate_fns[mkey](
+                self.params, jnp.asarray(last_tokens, jnp.int32),
+                jnp.asarray(pos0), cache, jnp.int32(0))
+            return np.asarray(toks)
         key = (batch, max_steps)
         if key not in self._generate_fns:
             config = self.config

@@ -101,10 +101,10 @@ def embed_tokens(
         rows = (inv[..., None] * (shaped - zp[..., None])).reshape(codes.shape)
     elif embedding.kind == "nuq4":
         codes = embedding.arrays["codes"][tokens].astype(jnp.int32)
-        tables = embedding.arrays["tables"][tokens]  # [..., G, 16]
-        g = tables.shape[-2]
-        c = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
-        rows = jnp.take_along_axis(tables, c, axis=-1).reshape(codes.shape)
+        tables = embedding.arrays["tables"][tokens]  # [..., G*16] flat
+        k = codes.shape[-1]
+        g = jnp.arange(k, dtype=jnp.int32) // 256
+        rows = jnp.take_along_axis(tables, codes + g * 16, axis=-1)
     else:
         raise ValueError(embedding.kind)
     return rows * jnp.float32(emb_scale)

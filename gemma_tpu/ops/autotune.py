@@ -52,19 +52,23 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
     bm_opts = [bm for bm in (8, 16, 32, 64, 128, 256) if bm <= round_up(m, 8)]
     bk_full = round_up(k, k_align)
     for bm in bm_opts[-3:] or bm_opts:
-        for bn in (128, 256, 512, 1024, 2048):
+        for bn in (128, 256, 384, 512, 640, 768, 1024, 1152, 1280, 2048):
             if bn > round_up(n, 128):
+                continue
+            if kind == "nuq4" and round_up(n, 128) % bn:
+                # Non-dividing bn fails the Mosaic block constraint when the
+                # codes and tables blocks have different lane widths.
                 continue
             for bk in (256, 512, 1024, 2048, 4096, bk_full):
                 if bk % k_align or bk > bk_full:
                     continue
                 chunk = 256 if kind == "nuq4" else bk
-                # nuq4's unrolled select tree keeps ~20 f32 [bn, 256]
-                # temporaries live per group; the byte codecs only
-                # materialize the bf16 tile (counted below) plus per-vreg
-                # temps.  Candidates that still blow VMEM fail to compile
-                # and are skipped.
-                per_elem = 80 if kind == "nuq4" else 2
+                # nuq4's gather dequant keeps i32 index + f32 result
+                # temporaries per chunk; the byte codecs only materialize
+                # the bf16 tile (counted below) plus per-vreg temps.
+                # Candidates that still blow VMEM fail to compile and are
+                # skipped.
+                per_elem = 10 if kind == "nuq4" else 2
                 dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
                 vmem = (
                     2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in
@@ -95,7 +99,7 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
         chunk = 256 if kind == "nuq4" else bk_full
         # Mosaic materializes tile-sized i32 temporaries for the byte-codec
         # dequants (~2 x 4B/elem observed in scoped-vmem accounting).
-        per_elem = 256 if kind == "nuq4" else 8
+        per_elem = 32 if kind == "nuq4" else 8
         dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
         vmem = 2 * (bm * bk_full * 2 + bn * bk_full * b_bytes) + bn * bk_full * 2
         vmem += dequant_tmp + bm * bn * 4
@@ -212,7 +216,8 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
     elif kind == "nuq4":
         arrays = {
             "codes": jnp.asarray(rng.integers(0, 16, (n, k), dtype=np.uint8)),
-            "tables": jnp.asarray(rng.normal(0, 1, (n, k // 256, 16)).astype(np.float32)),
+            "tables": jnp.asarray(
+                rng.normal(0, 1, (n, (k // 256) * 16)).astype(np.float32)),
         }
     else:
         arrays = {

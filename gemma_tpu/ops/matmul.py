@@ -23,9 +23,10 @@ Weight containers (device side):
             because NUQ tables store centers as SFP (nuq-inl.h:649-651);
             dequant is then identical to "sfp" (1 byte/value HBM traffic,
             minimal VPU work)
-  - "nuq4": codes u8 [N, K] (4-bit idx) + tables f32 [N, K/256, 16];
-            true 4.5-bit traffic, dequant via a 4-level select tree chunked
-            to bound VMEM temporaries
+  - "nuq4": codes u8 [N, K] (4-bit idx) + tables f32 [N, G*16] flat;
+            dequant via the hardware lane gather (tpu.dynamic_gather) —
+            each 128-lane code chunk indexes a 128-lane window of its
+            groups' tables (8 groups x 16 entries per window)
   - "i8":   codes i8 [N, K] + per-128-group inv_scale fma
 
 The per-shape tile autotuner (`MMCandidates`/`MMAutoTune` analog,
@@ -92,11 +93,11 @@ class QuantTensor:
             w = decode_jax(self.arrays["codes"], jnp.float32)
         elif self.kind == "nuq4":
             codes = self.arrays["codes"]
-            tables = self.arrays["tables"]  # [N, G, 16]
+            tables = self.arrays["tables"]  # [N, G*16] flat
             n, k = codes.shape
-            g = tables.shape[1]
-            c = codes.reshape(n, g, k // g).astype(jnp.int32)
-            w = jnp.take_along_axis(tables, c, axis=2).reshape(n, k)
+            g = jnp.arange(k, dtype=jnp.int32) // 256
+            gidx = codes.astype(jnp.int32) + g[None, :] * 16
+            w = jnp.take_along_axis(tables, gidx, axis=1)
         elif self.kind == "i8":
             codes = self.arrays["codes"].astype(jnp.float32)
             inv = self.arrays["inv_scales"]  # [N, K/128]
@@ -147,9 +148,12 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
     if kind == "nuq4":
         assert pt.type == Type.NUQ
         tables, codes = nuq_codec.to_device_layout(pt.data, n, k)
+        # Device layout: tables flattened [N, G*16] so the kernel's gather
+        # windows are plain lane slices; decode stays bit-exact.
         return QuantTensor(
             "nuq4", (n, k), pt.scale,
-            {"codes": jnp.asarray(codes), "tables": jnp.asarray(tables)},
+            {"codes": jnp.asarray(codes),
+             "tables": jnp.asarray(tables.reshape(n, -1))},
         )
     if kind == "i8":
         assert pt.type == Type.I8
@@ -183,37 +187,6 @@ def _sfp_tile_to_bf16(codes: jnp.ndarray) -> jnp.ndarray:
     mag = jnp.where(v == 0, 0, mag)
     bits = (mag | sign).astype(jnp.uint16)
     return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
-
-
-def _nuq_tile_dequant(codes: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
-    """NUQ 4-bit LUT dequant via a 4-level binary select tree.
-
-    codes: u8 [bn, bk]; tables: f32 [bn, bk/256, 16].
-    15 vector selects/element on the VPU -- the TPU stand-in for the
-    reference's TableLookupLanes (nuq-inl.h:575-596).
-    """
-    bn, bk = codes.shape
-    g = tables.shape[1]
-    per = bk // g
-    c = codes.reshape(bn, g, per).astype(jnp.int32)
-    b0 = (c & 1) == 1
-    b1 = (c & 2) == 2
-    b2 = (c & 4) == 4
-    b3 = (c & 8) == 8
-
-    def entry(i):
-        # Static slice (Mosaic has no ND gather in kernels).
-        return jax.lax.slice_in_dim(tables, i, i + 1, axis=2)
-
-    # Level 0: 8 selects between adjacent table entries on bit0.
-    t = [jnp.where(b0, entry(2 * i + 1), entry(2 * i)) for i in range(8)]
-    # Level 1: 4 selects on bit1.
-    t = [jnp.where(b1, t[2 * i + 1], t[2 * i]) for i in range(4)]
-    # Level 2: 2 selects on bit2.
-    t = [jnp.where(b2, t[2 * i + 1], t[2 * i]) for i in range(2)]
-    # Level 3: final select on bit3.
-    out = jnp.where(b3, t[1], t[0])
-    return out.reshape(bn, bk)
 
 
 def _i8_tile_dequant(
@@ -253,36 +226,45 @@ def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *ref
         )
 
     if kind == "nuq4":
-        # Per 256-group: 4-bit LUT dequant as a statically-unrolled 4-level
-        # binary select tree over lane-broadcast table entries (the
-        # TableLookupLanes stand-in, nuq-inl.h:575-596).  Tables arrive
-        # flattened [bn, gk*16] so entries are static column slices.
-        # Measured 9x over a fori_loop + dynamic-slice variant on v5e.
+        # 4-bit LUT dequant as ONE hardware lane gather per 128-lane code
+        # chunk (tpu.dynamic_gather; the TableLookupLanes analog,
+        # nuq-inl.h:575-596): chunk lanes index a 128-lane window of the
+        # flat tables tile holding 8 groups x 16 entries, so a whole vreg
+        # dequantizes in ~2 cycles.  Measured 2.9x over the round-1
+        # select-tree kernel on v5e (43 -> 126 GB/s-eff on M16 K2304
+        # N9216); the remaining gap to HBM roofline is the gather unit's
+        # throughput plus the M=16 dot, documented in docs/PERF.md.
         a_ref, b_ref, tbl_ref, out_ref, acc_ref = refs
 
         @pl.when(k_step == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        group = 256
-        bn_t = b_ref.shape[0]
-        for g in range(gk):
-            c = b_ref[:, g * group : (g + 1) * group].astype(jnp.int32)
-            b0 = (c & 1) == 1
-            b1 = (c & 2) == 2
-            b2 = (c & 4) == 4
-            b3 = (c & 8) == 8
-
-            def entry(j, g=g):
-                e = tbl_ref[:, g * 16 + j : g * 16 + j + 1]
-                return jnp.broadcast_to(e, (bn_t, group))
-
-            t = [entry(j) for j in range(16)]
-            t = [jnp.where(b0, t[2 * i + 1], t[2 * i]) for i in range(8)]
-            t = [jnp.where(b1, t[2 * i + 1], t[2 * i]) for i in range(4)]
-            t = [jnp.where(b2, t[2 * i + 1], t[2 * i]) for i in range(2)]
-            deq = jnp.where(b3, t[1], t[0])
-            dot_acc(a_ref[:, g * group : (g + 1) * group], deq, acc_ref)
+        tl = gk * 16
+        windows: dict[int, tuple] = {}
+        for chunk in range(b_ref.shape[1] // 128):
+            g = chunk // 2
+            sub = g // 8
+            if sub not in windows:
+                if tl < 128:
+                    # Tiny-K tiles: pad the whole tables tile to one vreg.
+                    t = tbl_ref[...]
+                    t = jnp.concatenate(
+                        [t, jnp.zeros((t.shape[0], 128 - tl), t.dtype)],
+                        axis=1)
+                    windows[sub] = (t, 0)
+                elif (sub + 1) * 128 <= tl:
+                    windows[sub] = (tbl_ref[:, sub * 128 : (sub + 1) * 128],
+                                    sub * 128)
+                else:
+                    # Final partial window: slide back to stay in bounds
+                    # (lane-rotate cost on these chunks only).
+                    windows[sub] = (tbl_ref[:, tl - 128 : tl], tl - 128)
+            t, base = windows[sub]
+            idx = (b_ref[:, chunk * 128 : (chunk + 1) * 128]
+                   .astype(jnp.int32) + (g * 16 - base))
+            deq = jnp.take_along_axis(t, idx, axis=1)
+            dot_acc(a_ref[:, chunk * 128 : (chunk + 1) * 128], deq, acc_ref)
     else:
         if kind in ("bf16", "f32"):
             a_ref, b_ref, out_ref, acc_ref = refs
@@ -391,19 +373,14 @@ def _matmul_pallas(
         in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
     gk = 0
     if kind == "nuq4":
-        codes, tables = arrays["codes"], arrays["tables"]
-        group = codes.shape[1] // tables.shape[1]  # 256
+        codes, tables = arrays["codes"], arrays["tables"]  # [n, G*16] flat
+        group = 256
         assert bk % group == 0, "NUQ block_k must cover whole 256-groups"
         inputs.append(_pad2(codes, np_, kp))
         in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
         gp = kp // group
         gk = bk // group
-        # Flattened [N, gp*16] so kernel entries are static column slices.
-        tables_p = jnp.pad(
-            tables,
-            ((0, np_ - tables.shape[0]), (0, gp - tables.shape[1]), (0, 0)),
-        ).reshape(np_, gp * 16)
-        inputs.append(tables_p)
+        inputs.append(_pad2(tables, np_, gp * 16))
         in_specs.append(
             pl.BlockSpec((bn, gk * 16), lambda i, j, kk: (j, kk)))
     elif kind == "i8":

@@ -13,6 +13,7 @@ equivalent here is a `jax.sharding.Mesh` over ICI with explicit
 
 from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
 from gemma_tpu.parallel.tp import (
+    build_tp_decode_chunk,
     build_tp_step,
     shard_cache,
     shard_params,
@@ -22,6 +23,7 @@ from gemma_tpu.parallel.tp import (
 __all__ = [
     "make_mesh",
     "pick_mesh_shape",
+    "build_tp_decode_chunk",
     "build_tp_step",
     "shard_params",
     "shard_cache",

@@ -51,7 +51,7 @@ def synth_quant(
         g = k // 256
         arrays = {
             "codes": mk((n, k), np.uint8, hi=16),
-            "tables": mk((n, g, 16), np.float32),
+            "tables": mk((n, g * 16), np.float32),
         }
     elif kind == "i8":
         g = k // 128

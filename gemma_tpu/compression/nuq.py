@@ -126,28 +126,31 @@ def encode(values: np.ndarray) -> np.ndarray:
     num_groups = -(-num // GROUP_SIZE)
     out = np.zeros(packed_end(num), dtype=np.uint8)
 
-    native = _native_cluster(flat, num_groups)
+    # The native encoder clusters FULL groups only; a partial final group
+    # goes through _cluster_group so both paths cluster exactly the real
+    # tail values and produce identical streams (ADVICE r1).
+    g_full = num // GROUP_SIZE
+    native = _native_cluster(flat[: g_full * GROUP_SIZE], g_full) \
+        if g_full else ([], [])
     if native is not None:
-        centers_all, idx_all = native  # [G, 16], [G, 256]
-        sfp_bytes = sfp.encode(centers_all.reshape(-1)).reshape(num_groups,
-                                                                CLUSTERS)
-        nib = (idx_all[:, 0::2] | (idx_all[:, 1::2] << 4)).astype(np.uint8)
-        # Vectorized packing for all full groups; the final (possibly
-        # partial) group's stream slot is shorter than GROUP_BYTES.
-        g_full = num // GROUP_SIZE
-        grouped = out[: g_full * GROUP_BYTES].reshape(g_full, GROUP_BYTES)
-        grouped[:, :CLUSTERS] = sfp_bytes[:g_full]
-        grouped[:, CLUSTERS:] = nib[:g_full]
+        if g_full:
+            centers_all, idx_all = native  # [G, 16], [G, 256]
+            sfp_bytes = sfp.encode(centers_all.reshape(-1)).reshape(
+                g_full, CLUSTERS)
+            nib = (idx_all[:, 0::2] | (idx_all[:, 1::2] << 4)).astype(np.uint8)
+            grouped = out[: g_full * GROUP_BYTES].reshape(g_full, GROUP_BYTES)
+            grouped[:, :CLUSTERS] = sfp_bytes
+            grouped[:, CLUSTERS:] = nib
         if num_groups > g_full:
-            tail = num % GROUP_SIZE
+            tail = num - g_full * GROUP_SIZE
             base = g_full * GROUP_BYTES
-            out[base : base + CLUSTERS] = sfp_bytes[g_full]
-            n_bytes = -(-tail // 2)
-            tail_idx = idx_all[g_full].copy()
-            tail_idx[tail:] = 0
-            tail_nib = (tail_idx[0::2] | (tail_idx[1::2] << 4)).astype(np.uint8)
-            out[base + CLUSTERS : base + CLUSTERS + n_bytes] = \
-                tail_nib[:n_bytes]
+            centers, idx = _cluster_group(flat[g_full * GROUP_SIZE :])
+            out[base : base + CLUSTERS] = sfp.encode(centers)
+            padded = np.zeros(GROUP_SIZE, dtype=np.uint8)
+            padded[:tail] = idx
+            tail_nib = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+            out[base + CLUSTERS : base + CLUSTERS + (-(-tail // 2))] = \
+                tail_nib[: -(-tail // 2)]
         return out
 
     for g in range(num_groups):

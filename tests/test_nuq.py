@@ -123,8 +123,9 @@ def test_device_layout_unaligned():
 
 def test_native_stream_matches_numpy_on_partial_groups():
     """The native and numpy encoders must emit identical streams even for
-    tensors whose size is not a multiple of 256 (both pad the final group
-    with its max before clustering, mirroring nuq-inl.h:263-273)."""
+    tensors whose size is not a multiple of 256: the native path clusters
+    full groups only and the partial tail goes through _cluster_group on
+    exactly the real values in both paths (ADVICE r1)."""
     import unittest.mock as mock
 
     from gemma_tpu.compression import nuq_native

@@ -150,7 +150,8 @@ class GemmaContext:
             size = gemma.config.vit_config.image_size
             image = image.resize(size, size)
             image_tokens = generate_image_tokens(gemma.params, image,
-                                                 gemma.config)
+                                                 gemma.config,
+                                                 mesh=gemma.engine.mesh)
             n_img = image_tokens.shape[0]
 
         pos = conv.abs_pos

@@ -97,7 +97,8 @@ class GemmaModel:
             image = Image.from_array(image)
         size = g.config.vit_config.image_size
         image = image.resize(size, size)
-        self._image_tokens = generate_image_tokens(g.params, image, g.config)
+        self._image_tokens = generate_image_tokens(g.params, image, g.config,
+                                                   mesh=g.engine.mesh)
 
     def generate_with_image(self, prompt: str,
                             max_generated_tokens: int = 1024

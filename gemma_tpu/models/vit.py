@@ -137,14 +137,25 @@ def prefill_vit(vit: VitParams, patches: jnp.ndarray,
 _JIT_CACHE: dict = {}
 
 
-def generate_image_tokens(params, image, config: ModelConfig) -> jnp.ndarray:
-    """GenerateImageTokens analog (gemma/gemma.cc:688-699)."""
+def generate_image_tokens(params, image, config: ModelConfig,
+                          mesh=None) -> jnp.ndarray:
+    """GenerateImageTokens analog (gemma/gemma.cc:688-699).
+
+    With `mesh` set (and params sharded via parallel.shard_params), the 27
+    SigLIP layers run tensor-parallel (parallel/vit_tp.py) instead of
+    replicated per chip.
+    """
     patches = jnp.asarray(image.patches(config.vit_config.patch_width))
     assert patches.shape[0] == config.vit_config.seq_len, (
         patches.shape, config.vit_config.seq_len)
-    key = id(config)
+    key = (id(config), id(mesh))
     if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(lambda v, p: prefill_vit(v, p, config))
+        if mesh is not None:
+            from gemma_tpu.parallel.vit_tp import build_vit_prefill
+
+            _JIT_CACHE[key] = build_vit_prefill(params.vit, config, mesh)
+        else:
+            _JIT_CACHE[key] = jax.jit(lambda v, p: prefill_vit(v, p, config))
     return _JIT_CACHE[key](params.vit, patches)
 
 

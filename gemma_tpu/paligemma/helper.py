@@ -24,7 +24,7 @@ class PaliGemmaHelper:
             image = Image.read_ppm(image)
         size = g.config.vit_config.image_size
         return generate_image_tokens(g.params, image.resize(size, size),
-                                     g.config)
+                                     g.config, mesh=g.engine.mesh)
 
     def query(self, image, prompt: str, max_generated_tokens: int = 64) -> str:
         """Full image QA round trip (PaliGemmaHelper::QueryModel)."""

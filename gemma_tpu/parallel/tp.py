@@ -97,10 +97,16 @@ def tp_layout(params: Params, config: ModelConfig, tp: int) -> Params:
                 query_norm=None if lp.query_norm is None else P(),
             )
         )
+    vit_specs = None
+    if params.vit is not None:
+        from gemma_tpu.parallel.vit_tp import vit_tp_layout
+
+        vit_specs = vit_tp_layout(params.vit, config, tp)
     return Params(
         embedding=_qt_spec(params.embedding, 0),
         final_norm=P(),
         layers=layers,
+        vit=vit_specs,
     )
 
 

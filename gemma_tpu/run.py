@@ -74,7 +74,8 @@ def repl(gemma, inference: InferenceArgs) -> None:
         size = config.vit_config.image_size
         image = image.resize(size, size)
         t0 = time.monotonic()
-        image_tokens = generate_image_tokens(gemma.params, image, config)
+        image_tokens = generate_image_tokens(gemma.params, image, config,
+                                             mesh=gemma.engine.mesh)
         if inference.verbosity >= 1:
             ms = int((time.monotonic() - t0) * 1e3)
             print(f"\n[ Timing info ] Image token generation took: {ms} ms",

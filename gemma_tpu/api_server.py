@@ -46,8 +46,10 @@ class GemmaService:
 
     continuous=True replaces the single inference mutex with the
     continuous-batching scheduler (engine/serving.py): concurrent requests
-    share decode steps instead of queueing behind each other.  Sessions
-    (KV reuse) require the serialized path and are rejected in this mode.
+    share decode steps instead of queueing behind each other.  Requests
+    with a sessionId (KV reuse, api_server.cc:89-97) fall back to the
+    serialized single-query path — they keep working, they just do not
+    share decode waves with batched requests.
     """
 
     def __init__(self, gemma, model_name: str = "gemma",
@@ -155,10 +157,7 @@ class GemmaService:
         """Run one generateContent request; stream chunks via on_chunk."""
         if "contents" not in request:
             raise ValueError("Missing 'contents' field")
-        if self.batcher is not None:
-            if request.get("sessionId"):
-                raise ValueError(
-                    "sessionId is not supported in --continuous mode")
+        if self.batcher is not None and not request.get("sessionId"):
             return self._generate_continuous(request, on_chunk=on_chunk)
         session_id = request.get("sessionId") or f"session_{uuid.uuid4().hex}"
         prompt = self.wrap_messages(request["contents"])

@@ -8,6 +8,10 @@ the TPU-native upgrade called out in SURVEY.md §2.7/§7 stage 5:
 
   - fixed shapes: the decode step is compiled once for `slots` queries;
     admission prefills only the new slots (per-slot valid masks).
+  - chunk-limited admission: each tick prefills at most `admission_chunk`
+    prompt tokens before running one decode step for every active slot,
+    so a long prompt can never stall in-flight decodes for more than one
+    chunk (VERDICT r1 weak #7).
   - per-slot ring KV caches inside one batched cache tensor.
   - streaming callbacks + EOS/max-token retirement per slot.
 
@@ -48,14 +52,25 @@ class _Slot:
     pos: int = 0            # next decode position (last prompt token first)
     prev_token: int = 0
     remaining: int = 0
+    # Prompt tokens not yet written to KV (admission in progress); the
+    # slot joins decode once this drains to the final token.
+    filled: int = 0
+
+    @property
+    def admitting(self) -> bool:
+        return (self.request is not None
+                and self.filled < len(self.request.prompt_ids) - 1)
 
 
 class ContinuousBatcher:
     def __init__(self, engine: GemmaEngine, slots: int | None = None,
-                 seq_len: int | None = None):
+                 seq_len: int | None = None,
+                 admission_chunk: int | None = None):
         self.engine = engine
         self.slots = slots or engine.runtime.decode_qbatch_size
         self.seq_len = seq_len or engine.runtime.seq_len
+        self.admission_chunk = (admission_chunk
+                                or engine.runtime.prefill_tbatch_size)
         self.cache = engine.new_cache(self.slots, self.seq_len)
         self._slots = [_Slot() for _ in range(self.slots)]
         self._queue: deque[Request] = deque()
@@ -68,7 +83,14 @@ class ContinuousBatcher:
 
     @property
     def active(self) -> int:
+        """Slots holding a request (admitting or decoding)."""
         return sum(1 for s in self._slots if s.request is not None)
+
+    @property
+    def decoding(self) -> int:
+        """Slots whose prompt is fully prefilled (take decode steps)."""
+        return sum(1 for s in self._slots
+                   if s.request is not None and not s.admitting)
 
     @property
     def pending(self) -> int:
@@ -81,33 +103,51 @@ class ContinuousBatcher:
     # --- scheduling ---
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots (one batched pass)."""
-        new: list[tuple[int, Request]] = []
+        """Assign queued requests to free slots; prefill happens in
+        chunk-limited rounds via _advance_admissions."""
         for i, slot in enumerate(self._slots):
             if slot.request is None and self._queue:
-                new.append((i, self._queue.popleft()))
-        if not new:
+                req = self._queue.popleft()
+                slot.request = req
+                slot.filled = 0
+                slot.pos = len(req.prompt_ids) - 1
+                slot.prev_token = int(req.prompt_ids[-1])
+                slot.remaining = req.max_tokens
+
+    def _advance_admissions(self) -> None:
+        """Prefill at most `admission_chunk` tokens of every admitting slot
+        in ONE batched pass (per-slot valid masks confine KV writes), so
+        in-flight decodes stall for one chunk at most."""
+        admitting = [(i, s) for i, s in enumerate(self._slots) if s.admitting]
+        if not admitting:
             return
-        # Fake single-token prompts for untouched slots: prefill() runs all
-        # slots, but valid masks confine KV writes to the new ones.
+        c = self.admission_chunk
+        # Fake single-token prompts for untouched slots; each admitting
+        # slot advances by <= c tokens.  The chunk carries one lookahead
+        # token so prefill (which writes len-1 tokens) writes exactly the
+        # chunk; the final prompt token is never written — it becomes the
+        # slot's first decode input, like Gemma::Generate.
         prompts = [[0] for _ in range(self.slots)]
         start_pos = [0] * self.slots
-        for i, req in new:
-            prompts[i] = list(req.prompt_ids)
-        cache, last = self.engine.prefill(prompts, self.cache,
-                                          start_pos=start_pos)
+        for i, slot in enumerate(self._slots):
+            if not self._slots[i].admitting:
+                continue
+            ids = self._slots[i].request.prompt_ids
+            lo = self._slots[i].filled
+            hi = min(lo + c, len(ids) - 1)
+            prompts[i] = list(ids[lo : hi + 1])
+            start_pos[i] = lo
+            self._slots[i].filled = hi
+        cache, _ = self.engine.prefill(prompts, self.cache,
+                                       start_pos=start_pos)
         self.cache.assign(cache)
-        for i, req in new:
-            slot = self._slots[i]
-            slot.request = req
-            slot.pos = len(req.prompt_ids) - 1
-            slot.prev_token = last[i]
-            slot.remaining = req.max_tokens
 
     def step(self) -> None:
-        """One scheduler tick: admit + one decode step for all slots."""
+        """One scheduler tick: admit, one admission chunk, one decode step
+        for every slot that has finished prefilling."""
         self._admit()
-        if self.active == 0:
+        self._advance_admissions()
+        if self.decoding == 0:
             return
         prev = np.asarray([s.prev_token for s in self._slots], np.int32)
         pos = [s.pos for s in self._slots]
@@ -120,7 +160,10 @@ class ContinuousBatcher:
         config = self.engine.config
         for i, slot in enumerate(self._slots):
             req = slot.request
-            if req is None:
+            if req is None or slot.admitting:
+                # Admitting slots ride the fixed-shape decode as padding;
+                # their logits are ignored and the garbage KV row at
+                # slot.pos is rewritten by their first real decode step.
                 continue
             tok = int(tokens[i])
             keep = True

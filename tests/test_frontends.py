@@ -200,16 +200,22 @@ def test_http_server_continuous(tiny_gemma):
             assert resp["candidates"][0]["finishReason"] == "STOP"
             assert resp["usageMetadata"]["candidatesTokenCount"] <= 3
 
-        # sessions are rejected in continuous mode
-        body = json.dumps({"contents": [{"parts": [{"text": "x"}]}],
-                           "sessionId": "abc"}).encode()
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/v1beta/models/tiny:generateContent",
-            data=body, headers={"Content-Type": "application/json"})
-        try:
-            urllib.request.urlopen(req, timeout=60)
-            assert False, "expected 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # sessions fall back to the serialized path in continuous mode
+        # (api_server.cc:89-97 supports KV reuse unconditionally) and KV
+        # carries across turns.
+        for turn in ("first", "second"):
+            body = json.dumps({"contents": [{"parts": [{"text": turn}]}],
+                               "sessionId": "abc",
+                               "generationConfig": {"maxOutputTokens": 2},
+                               }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1beta/models/tiny:generateContent",
+                data=body, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                resp = json.loads(r.read())
+            assert resp["sessionId"] == "abc"
+            assert resp["candidates"][0]["finishReason"] == "STOP"
+        assert "abc" in service.sessions
+        assert service.sessions["abc"].abs_pos > 0
     finally:
         server.shutdown()

@@ -68,3 +68,44 @@ def test_slot_reuse_no_leak(engine):
         batcher.submit(Request(list(rng.integers(2, 100, n)), max_tokens=2))
     batcher.run_until_idle()
     assert long_req.output == want
+
+
+def test_chunked_admission_matches_individual(engine):
+    """Prompts longer than admission_chunk prefill across several ticks and
+    still generate exactly the solo-generation tokens."""
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(2, 100, n)) for n in (17, 23, 5)]
+    want = [engine.generate(p, max_generated_tokens=5) for p in prompts]
+
+    batcher = ContinuousBatcher(engine, slots=2, seq_len=48,
+                                admission_chunk=4)
+    reqs = [batcher.submit(Request(p, max_tokens=5)) for p in prompts]
+    batcher.run_until_idle()
+    assert [r.output for r in reqs] == want
+
+
+def test_admission_does_not_stall_decodes(engine):
+    """VERDICT r1 weak #7: while a long prompt is admitted chunk by chunk,
+    an in-flight request keeps producing tokens every tick."""
+    rng = np.random.default_rng(4)
+    batcher = ContinuousBatcher(engine, slots=2, seq_len=48,
+                                admission_chunk=4)
+    short = batcher.submit(Request([2, 5, 9], max_tokens=20))
+    batcher.step()  # admit + first decode
+    assert len(short.output) == 1
+
+    long_req = batcher.submit(Request(list(rng.integers(2, 100, 21)),
+                                      max_tokens=3))
+    # 21-token prompt at chunk 4 needs 5 admission ticks; the short
+    # request must gain one token on EVERY one of them.
+    before = len(short.output)
+    ticks = 0
+    while long_req.output == [] and ticks < 10:
+        batcher.step()
+        ticks += 1
+        assert len(short.output) == before + ticks, "decode stalled"
+    assert long_req.output, "long request never started decoding"
+    # And the long request still matches solo generation.
+    batcher.run_until_idle()
+    assert long_req.output == engine.generate(
+        list(long_req.prompt_ids), max_generated_tokens=3)

@@ -154,6 +154,32 @@ def _localize_params(params: Params) -> Params:
     )
 
 
+def _slice_qt(qt: QuantTensor, lo: int, hi: int) -> QuantTensor:
+    """Row-slice a QuantTensor along N (every codec's arrays lead with N)."""
+    arrays = {k: a[lo:hi] for k, a in qt.arrays.items()}
+    return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays)
+
+
+def _matmul_psum(x, w: QuantTensor, chunks: int, collectives: bool):
+    """matmul + psum over "model", optionally split into N-chunks so the
+    TPU latency-hiding scheduler can overlap chunk i's psum with chunk
+    i+1's matmul (the standard Megatron collective/compute overlap; the
+    reference reasons about the same sync cost in ops/matmul.h:330-333).
+    Chunking is bit-exact: each output element sees the same dot and the
+    same single psum either way."""
+    n = w.n
+    if chunks <= 1 or n % chunks:
+        out = matmul(x, w, out_dtype=jnp.float32)
+        return jax.lax.psum(out, "model") if collectives else out
+    step = n // chunks
+    outs = []
+    for i in range(chunks):
+        o = matmul(x, _slice_qt(w, i * step, (i + 1) * step),
+                   out_dtype=jnp.float32)
+        outs.append(jax.lax.psum(o, "model") if collectives else o)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _tp_forward_local(
     params: Params,
     tokens: jnp.ndarray,
@@ -167,9 +193,16 @@ def _tp_forward_local(
     config: ModelConfig,
     tp: int,
     return_logits: str,
+    overlap_chunks: int = 1,
+    collectives: bool = True,
 ) -> tuple:
     """The shard_map body: everything here sees local shards (the cache
-    pytree's static aux — ring lengths, layer map — passes through)."""
+    pytree's static aux — ring lengths, layer map — passes through).
+
+    overlap_chunks > 1 splits the two per-layer reduced matmuls into
+    N-chunks with one psum each (see _matmul_psum).  collectives=False is
+    a DIAGNOSTIC mode for scripts/scaling_bench.py --psum-share: psums
+    become identity (numerically wrong) to measure their cost share."""
     params = _localize_params(params)
     lc = config.layer_configs[0]
     b, t = tokens.shape
@@ -183,7 +216,8 @@ def _tp_forward_local(
     clamped = jnp.clip(local_tok, 0, vocab_local - 1)
     x = embed_tokens(params.embedding, clamped, model_dim)
     x = jnp.where(in_range[..., None], x, 0.0)
-    x = jax.lax.psum(x, "model")
+    if collectives:
+        x = jax.lax.psum(x, "model")
     if config.absolute_pe:
         # Before the image splice — image rows get no absolute PE
         # (gemma.cc:144-157); see models/gemma.py.
@@ -252,8 +286,8 @@ def _tp_forward_local(
                 cache, layer_idx, q, positions, window,
                 att_cap=config.att_cap, prefix_end=prefix_end)
         att = att.reshape(b * t, heads_l * qkv_dim).astype(jnp.bfloat16)
-        att_sums = matmul(att, layer.att_w, out_dtype=jnp.float32)
-        att_sums = jax.lax.psum(att_sums, "model").reshape(b, t, model_dim)
+        att_sums = _matmul_psum(att, layer.att_w, overlap_chunks,
+                                collectives).reshape(b, t, model_dim)
 
         if lci.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
             att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
@@ -265,8 +299,8 @@ def _tp_forward_local(
         c1 = matmul(y_bf, layer.gating1, out_dtype=jnp.float32)
         c2 = matmul(y_bf, layer.gating2, out_dtype=jnp.float32)
         act = (ops.gelu(c1) * c2).astype(jnp.bfloat16)
-        ffw = matmul(act, layer.linear, out_dtype=jnp.float32)
-        ffw = jax.lax.psum(ffw, "model").reshape(b, t, model_dim)
+        ffw = _matmul_psum(act, layer.linear, overlap_chunks,
+                           collectives).reshape(b, t, model_dim)
         if lci.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
             ffw = ops.rms_norm(ffw, layer.post_ffw_norm)
         x = x + ffw
@@ -279,7 +313,11 @@ def _tp_forward_local(
     bt = x_bf.shape[0] * x_bf.shape[1]
     logits_local = matmul(x_bf.reshape(bt, model_dim), params.embedding,
                           out_dtype=jnp.float32)
-    logits = jax.lax.all_gather(logits_local, "model", axis=1, tiled=True)
+    if collectives:
+        logits = jax.lax.all_gather(logits_local, "model", axis=1,
+                                    tiled=True)
+    else:  # diagnostic: shape-matching no-comm stand-in
+        logits = jnp.tile(logits_local, (1, tp))
     logits = ops.soft_cap(config.final_cap, logits)
     logits = logits.reshape(x_bf.shape[0], x_bf.shape[1], -1)
     if return_logits == "last":
@@ -301,6 +339,8 @@ def build_tp_step(
     return_logits: str = "last",
     seq_len: int | None = None,
     with_image: bool = False,
+    overlap_chunks: int | None = None,
+    collectives: bool = True,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
     cache) -> (logits, cache) — or just the cache when return_logits ==
@@ -312,9 +352,14 @@ def build_tp_step(
     del seq_len
     tp = mesh.shape["model"]
     specs = tp_layout(params, config, tp)
+    if overlap_chunks is None:
+        # Prefill (big M) is where collective/compute overlap pays; decode
+        # psums are latency-bound and chunking would multiply that latency.
+        overlap_chunks = 4 if return_logits == "none" else 1
     body = functools.partial(
         _tp_forward_local, config=config, tp=tp,
-        return_logits=return_logits,
+        return_logits=return_logits, overlap_chunks=overlap_chunks,
+        collectives=collectives,
     )
     if return_logits == "none":
         out_specs: Any = CACHE_SPEC

@@ -27,6 +27,12 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--devices", type=int, default=0,
                    help="force N virtual CPU devices (0 = use real devices)")
+    p.add_argument("--psum-share", action="store_true",
+                   help="also time a collective-free (numerically wrong) "
+                        "variant to report the psum/all_gather cost share")
+    p.add_argument("--prefill", type=int, default=0,
+                   help="also time a prefill chunk of this many tokens, "
+                        "sync vs overlap_chunks=4 (VERDICT r1 weak #4)")
     args = p.parse_args()
 
     if args.devices:
@@ -89,20 +95,56 @@ def main() -> None:
         valid = jnp.ones((args.batch, 1), bool)
         pe = jnp.zeros((args.batch,), jnp.int32)
 
-        logits, cache = decode(params, tokens, positions, valid, pe, cache)
-        np.asarray(logits)  # sync
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            logits, cache = decode(params, tokens, positions, valid, pe,
-                                   cache)
-        np.asarray(logits)
-        dt = time.perf_counter() - t0
+        def time_step(step_fn, cache):
+            logits, cache = step_fn(params, tokens, positions, valid, pe,
+                                    cache)
+            np.asarray(logits)  # sync
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                logits, cache = step_fn(params, tokens, positions, valid,
+                                        pe, cache)
+            np.asarray(logits)
+            return time.perf_counter() - t0, cache
+
+        dt, cache = time_step(decode, cache)
         tps = args.batch * args.steps / dt
         if base_tps is None:
             base_tps = tps
         eff = tps / (base_tps * n)
-        print(f"devices={n:3d} mesh={dict(mesh.shape)} "
-              f"{tps:10.1f} tok/s  efficiency={eff:6.1%}")
+        line = (f"devices={n:3d} mesh={dict(mesh.shape)} "
+                f"{tps:10.1f} tok/s  efficiency={eff:6.1%}")
+        if args.psum_share and n > 1:
+            nocomm = build_tp_step(params, config, mesh,
+                                   return_logits="last", seq_len=args.seq,
+                                   collectives=False)
+            cache2 = shard_cache(
+                KVCache.create(config, args.batch, args.seq), mesh)
+            dt_nc, _ = time_step(nocomm, cache2)
+            line += f"  psum_share={(dt - dt_nc) / dt:6.1%}"
+        print(line)
+
+        if args.prefill:
+            t = args.prefill
+            ptokens = jnp.ones((args.batch, t), jnp.int32)
+            ppos = jnp.tile(jnp.arange(t, dtype=jnp.int32),
+                            (args.batch, 1))
+            pvalid = jnp.ones((args.batch, t), bool)
+            for chunks, label in ((1, "sync"), (4, "overlap4")):
+                step = build_tp_step(params, config, mesh,
+                                     return_logits="none", seq_len=args.seq,
+                                     overlap_chunks=chunks)
+                c = shard_cache(KVCache.create(config, args.batch, args.seq),
+                                mesh)
+                c = step(params, ptokens, ppos, pvalid, pe, c)
+                jax.block_until_ready(c.kv)
+                t0 = time.perf_counter()
+                for _ in range(max(args.steps // 4, 2)):
+                    c = step(params, ptokens, ppos, pvalid, pe, c)
+                jax.block_until_ready(c.kv)
+                dt_p = time.perf_counter() - t0
+                per = dt_p / max(args.steps // 4, 2)
+                print(f"  prefill[{t} tok, {label:>8s}]: {per*1e3:8.2f} ms "
+                      f"({args.batch * t / per:10.0f} tok/s)")
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ from gemma_tpu.models.configs import (
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
 from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
-from gemma_tpu.ops.matmul import QuantTensor, matmul
+from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul
 
 
 def _register(cls):
@@ -189,9 +189,10 @@ def transformer_layer(
     # --- FFN (gemma-inl.h FFWNoVit) ---
     y_norm = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
     y_bf = y_norm.astype(jnp.bfloat16)
-    c1 = matmul(y_bf, layer.gating1, out_dtype=jnp.float32)
-    c2 = matmul(y_bf, layer.gating2, out_dtype=jnp.float32)
-    activated = (ops.gelu(c1) * c2).astype(jnp.bfloat16)
+    # Fused TwoMatMul epilogue: gelu(C1)*C2 inside one kernel, no f32
+    # [bt, ff] HBM round-trips (ops/matmul.py:gated_ffn).
+    activated = gated_ffn(y_bf, layer.gating1, layer.gating2,
+                          out_dtype=jnp.bfloat16)
     ffw_out = matmul(activated, layer.linear, out_dtype=jnp.float32)
     ffw_out = ffw_out.reshape(b, t, model_dim)
 

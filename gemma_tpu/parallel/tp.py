@@ -35,7 +35,7 @@ from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
 from gemma_tpu.models.gemma import LayerParams, Params, embed_tokens
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
-from gemma_tpu.ops.matmul import QuantTensor, matmul
+from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul
 
 # KV cache layout: [batch, layers, 2, kv_heads, s_alloc, qkv_dim]
 CACHE_SPEC = P("data", None, None, "model", None, None)
@@ -296,9 +296,9 @@ def _tp_forward_local(
         # FFN (local ff_hidden slice)
         y = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
         y_bf = y.astype(jnp.bfloat16)
-        c1 = matmul(y_bf, layer.gating1, out_dtype=jnp.float32)
-        c2 = matmul(y_bf, layer.gating2, out_dtype=jnp.float32)
-        act = (ops.gelu(c1) * c2).astype(jnp.bfloat16)
+        # Fused TwoMatMul epilogue on the local ff_hidden shard.
+        act = gated_ffn(y_bf, layer.gating1, layer.gating2,
+                        out_dtype=jnp.bfloat16)
         ffw = _matmul_psum(act, layer.linear, overlap_chunks,
                            collectives).reshape(b, t, model_dim)
         if lci.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:

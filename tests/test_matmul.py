@@ -128,3 +128,40 @@ def test_autotune_cache(tmp_path, monkeypatch):
     assert blocks == blocks2
     bm, bn, bk = at.best_blocks(8, 256, 128, "f32")
     assert bm <= 8 and bn <= 128 and bk <= 256
+
+
+@pytest.mark.parametrize("kind", ["f32", "bf16", "sfp", "nuq", "nuq4", "i8"])
+def test_gated_ffn_fused_matches_fallback(kind):
+    """Fused TwoMatMul epilogue (one kernel, two accumulators) must be
+    bit-identical to gelu(matmul) * matmul for every codec
+    (matmul-inl.h:1114-1175)."""
+    from gemma_tpu.ops.matmul import gated_ffn
+    from gemma_tpu.utils.synth import synth_quant
+
+    from gemma_tpu.ops.matmul import matmul
+    from gemma_tpu.ops.ops import gelu
+
+    rng = np.random.default_rng(7)
+    m, k, n = 8, 512, 384
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w1 = synth_quant(rng, n, k, kind)
+    w2 = synth_quant(rng, n, k, kind)
+    blocks = (8, 128, 256)
+    got = np.asarray(gated_ffn(a, w1, w2, out_dtype=jnp.bfloat16,
+                               blocks=blocks))
+    # Same dots + f32 gelu epilogue; identical up to one bf16 ulp (tanh
+    # FMA contraction can differ between compilation contexts).
+    want = np.asarray((gelu(matmul(a, w1, blocks=blocks))
+                       * matmul(a, w2, blocks=blocks)
+                       ).astype(jnp.bfloat16))
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32),
+                               rtol=1e-2, atol=1e-5)
+    # And close to the dense-dequant XLA fallback.  Near gelu's gate a
+    # one-ulp c1 difference flips the output between ~0 and ~c2*c1, so the
+    # bound is absolute at the output scale, not relative.
+    dense = np.asarray(gated_ffn(a, w1, w2, out_dtype=jnp.bfloat16,
+                                 use_pallas=False)).astype(np.float32)
+    np.testing.assert_allclose(got.astype(np.float32), dense,
+                               atol=5e-3 * np.abs(dense).max())

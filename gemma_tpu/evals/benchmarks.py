@@ -24,11 +24,21 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     add_args(parser, LoaderArgs, InferenceArgs)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--prompt_lengths", default="",
+                        help="comma-separated fixture lengths (32..512+) "
+                             "from evals/prompts.py to benchmark prefill")
     ns = parser.parse_args(argv)
     inference = extract(ns, InferenceArgs)
     env = GemmaEnv(load_gemma(extract(ns, LoaderArgs), inference))
 
-    for name, prompt in PROMPTS.items():
+    prompts = dict(PROMPTS)
+    if ns.prompt_lengths:
+        from gemma_tpu.evals.prompts import get_prompt
+
+        for ln in ns.prompt_lengths.split(","):
+            prompts[f"prompt{ln}"] = get_prompt(int(ln))
+
+    for name, prompt in prompts.items():
         times = []
         tokens = 0
         for _ in range(ns.reps):

@@ -34,20 +34,62 @@ def compute_cross_entropy(
     chunk_size: int = 256,
     verbosity: int = 0,
     tokenizer=None,
+    precise: str | bool = False,
+    kv_kind: str | None = None,
 ) -> float:
-    """Total cross-entropy of `prompt` in bits (ComputeCrossEntropy)."""
+    """Total cross-entropy of `prompt` in bits (ComputeCrossEntropy).
+
+    precise: accuracy-dot options for the final logits (the dot-inl.h
+    f64/compensated analogs, ops/accuracy.py):
+      False       — production path: bf16 MXU logits dot (default).
+      "cascaded"  — device compensated dot: HIGHEST-precision chunk dots +
+                    TwoSum cascade across chunks.
+      "f64"       — host f64 logits accumulation (exact; eval-sized only).
+    Both precise modes also run softmax/log in f64 on the host.
+    kv_kind: KV cache element kind ("f32" for reference-parity runs).
+    """
     prompt = list(prompt)[:max_tokens]
     n = len(prompt)
     total_nats = math.log(config.vocab_size)  # first token
     if n < 2:
         return total_nats / math.log(2.0)
 
-    cache = KVCache.create(config, 1, min(config.max_seq_len, max(n, 2)))
+    emb_dense = None
+    if precise:
+        # Decoded embedding rows (includes the tensor scale), once.
+        emb_dense = params.embedding.dequantize(jnp.float32)
+
+    cache = KVCache.create(config, 1, min(config.max_seq_len, max(n, 2)),
+                           kind=kv_kind or "bf16")
     pos = 0
     while pos < n - 1:
         c = min(chunk_size, n - 1 - pos)
         tokens = jnp.asarray(prompt[pos : pos + c], jnp.int32)[None, :]
         positions = jnp.arange(pos, pos + c, dtype=jnp.int32)[None, :]
+        if precise:
+            from gemma_tpu.models.gemma import forward_collect
+            from gemma_tpu.ops.accuracy import cascaded_dot, dot_f64
+
+            _, cache, collected = forward_collect(params, tokens, positions,
+                                                  cache, config)
+            xf = np.asarray(collected["final_norm"])[0]  # [c, d] bf16-rounded
+            if precise == "f64":
+                logits = dot_f64(xf, emb_dense)
+            else:
+                logits = np.asarray(cascaded_dot(
+                    jnp.asarray(xf), emb_dense), np.float64)
+            if config.final_cap:
+                logits = config.final_cap * np.tanh(
+                    logits / config.final_cap)
+            m = logits.max(axis=-1, keepdims=True)
+            e = np.exp(logits - m)
+            probs = e / e.sum(axis=-1, keepdims=True)
+            for i in range(c):
+                tok = prompt[pos + i + 1]
+                p = float(probs[i, tok])
+                total_nats -= max(math.log(p) if p > 0 else -64.0, -64.0)
+            pos += c
+            continue
         logits, cache = forward(params, tokens, positions, cache, config,
                                 return_logits="all")
         logits = np.asarray(logits[0], np.float32)  # [c, vocab]

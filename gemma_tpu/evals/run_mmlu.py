@@ -72,8 +72,22 @@ def run(env: GemmaEnv, samples: list[dict], verbosity: int = 1) -> float:
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     add_args(parser, LoaderArgs, InferenceArgs)
-    parser.add_argument("--input", required=True, help="Path of mmlu.json")
+    parser.add_argument(
+        "--input", default="", help="Path of mmlu.json (default: the "
+        "gemma.cpp copy at <repo>/gemma/evals/mmlu.json if present)")
     ns = parser.parse_args(argv)
+    if not ns.input:
+        # The dataset is upstream eval DATA (not vendored here); point at
+        # a checked-out gemma.cpp copy via GEMMA_CPP_DIR or /root/reference.
+        import os
+
+        for root in (os.environ.get("GEMMA_CPP_DIR", ""), "/root/reference"):
+            cand = os.path.join(root, "gemma", "evals", "mmlu.json")
+            if root and os.path.exists(cand):
+                ns.input = cand
+                break
+        if not ns.input:
+            parser.error("--input is required (no gemma.cpp mmlu.json found)")
     gemma = load_gemma(extract(ns, LoaderArgs), extract(ns, InferenceArgs))
     with open(ns.input) as f:
         samples = json.load(f)["samples"]

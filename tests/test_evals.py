@@ -112,3 +112,15 @@ def test_debug_prompt_collect(env, tmp_path):
                      return_logits="all")
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_prompt_fixtures():
+    """evals/prompts.py mirrors GetPrompt (prompts.h:90-105)."""
+    from gemma_tpu.evals.prompts import PROMPTS, get_prompt
+
+    assert set(PROMPTS) == {32, 64, 128, 256, 512}
+    assert get_prompt(256) == PROMPTS[256]
+    assert get_prompt(7) == PROMPTS[32]          # fallback like GetPrompt
+    assert PROMPTS[512] in get_prompt(1024)      # long contexts concatenate
+    # Rough token-length sanity: the fixture names approximate lengths.
+    assert len(PROMPTS[32].split()) < len(PROMPTS[512].split())

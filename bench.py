@@ -1,9 +1,15 @@
-"""Headline benchmark: Gemma2-2B SFP batched decode throughput on one chip.
+"""Headline benchmark: Gemma2 batched decode throughput on one chip.
 
 Mirrors the reference's gemma_batch_bench (evals/gemma_batch_bench.cc:51-140:
 decode_qbatch-sized batch, tokens/sec) with synthetic weights in the exact
 production layout (see gemma_tpu/utils/synth.py).  The decode loop runs fully
 on-device via lax.scan.
+
+Headline config: Gemma2-2B with the TPU serving defaults — i8 weights
+(output-scaled raw-code MXU dots; same 1 byte/elem as SFP but ~1.7x the
+effective bandwidth, see docs/PERF.md — VERDICT r1 #1b) and the i8 KV cache
+(ops/kv_quant.py).  The `extra` field carries the SFP continuity number
+(the reference's serving codec), Gemma2-9B SFP decode, and 2B prefill.
 
 vs_baseline: the reference publishes no absolute tokens/sec (BASELINE.md), so
 the comparison anchor is the HBM-bandwidth speed-of-light for this chip:
@@ -11,7 +17,7 @@ batched decode is bandwidth-bound reading the full weight set (+KV) per step,
 so SOL tok/s = batch / (bytes_per_step / HBM_BW).  vs_baseline = fraction of
 speed-of-light achieved (1.0 = perfect).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -47,28 +53,33 @@ def params_bytes(params) -> int:
     return total
 
 
-def main() -> None:
-    from gemma_tpu.models.configs import config_gemma2_2b
+def smoke_config():
+    """Tiny stand-in for off-TPU smoke runs (interpret-mode kernels make
+    real layer widths impractical on CPU)."""
+    from gemma_tpu.compression import Type
+    from gemma_tpu.models import configs as C
+
+    lc = C.LayerConfig(model_dim=256, ff_hidden_dim=512, heads=4,
+                       kv_heads=2, qkv_dim=64,
+                       post_norm=C.PostNormType.SCALE)
+    c = C.ModelConfig(model=C.Model.GEMMA2_2B, model_dim=256,
+                      vocab_size=512, max_seq_len=256, num_layers=2,
+                      att_cap=50.0, final_cap=30.0, weight=Type.SFP)
+    c.layer_configs = [lc, lc]
+    c.attention_window_sizes = [128, 256]
+    return c
+
+
+def measure_decode(config, kind: str, kv_kind: str, batch: int,
+                   seq_len: int, steps: int) -> dict:
+    """Greedy decode throughput + fraction of HBM speed-of-light."""
     from gemma_tpu.models.gemma import forward
     from gemma_tpu.models.kv_cache import KVCache
     from gemma_tpu.utils.synth import synth_params
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    config = config_gemma2_2b()
-    batch, seq_len, steps = 16, 1024, 32
-    if not on_tpu:  # smoke-test mode off-TPU
-        config.num_layers = 2
-        config.layer_configs = config.layer_configs[:2]
-        config.attention_window_sizes = config.attention_window_sizes[:2]
-        config.vocab_size = 2048
-        batch, seq_len, steps = 4, 128, 4
-
-    print(f"synthesizing {config.specifier()} weights...", file=sys.stderr)
-    params = synth_params(config, kind="sfp", seed=0)
-    params = jax.device_put(params)
+    params = jax.device_put(synth_params(config, kind=kind, seed=0))
     w_bytes = params_bytes(params)
-    cache = KVCache.create(config, batch, seq_len)
-
+    cache = KVCache.create(config, batch, seq_len, kind=kv_kind)
     start_pos = seq_len // 2
 
     @jax.jit
@@ -86,37 +97,114 @@ def main() -> None:
         return tokens, cache
 
     first = jnp.ones((batch,), jnp.int32)
-    print("compiling + warmup...", file=sys.stderr)
     tokens, _ = decode_n(params, cache, first)
-    np.asarray(tokens)  # full sync (block_until_ready is unreliable on axon)
+    np.asarray(tokens)  # full sync (block_until_ready unreliable on axon)
 
     t0 = time.monotonic()
     tokens, _ = decode_n(params, cache, first)
     np.asarray(tokens)
     dt = time.monotonic() - t0
-
     tok_s = batch * steps / dt
 
     # Speed-of-light: per decode step, the chip must read all weights once
     # (batch shares them) plus each query's live KV span.
     lc = config.layer_configs[0]
+    kv_elt = {"f32": 4, "bf16": 2, "i8": 1}[kv_kind]
     kv_bytes_per_q = (len(config.layer_configs) * start_pos * 2
-                      * lc.kv_heads * lc.qkv_dim * 2)
+                      * lc.kv_heads * lc.qkv_dim * kv_elt)
     bytes_per_step = w_bytes + batch * kv_bytes_per_q
-    sol_tok_s = batch / (bytes_per_step / device_hbm_bw())
-    vs = tok_s / sol_tok_s
+    sol = batch / (bytes_per_step / device_hbm_bw())
+    del params, cache
+    return {"tok_s": round(tok_s, 2), "sol": round(sol, 1),
+            "vs_sol": round(tok_s / sol, 4), "dt_ms": round(dt * 1e3, 1),
+            "w_gb": round(w_bytes / 1e9, 3)}
 
-    print(
-        f"decode: {tok_s:.1f} tok/s (batch={batch}, steps={steps}, "
-        f"dt={dt*1e3:.1f}ms, weights={w_bytes/1e9:.2f}GB, "
-        f"SOL={sol_tok_s:.1f} tok/s on {jax.devices()[0].device_kind})",
-        file=sys.stderr,
-    )
+
+def measure_prefill(config, kind: str, batch: int, chunk: int,
+                    seq_len: int, reps: int) -> dict:
+    """Prefill throughput for one [batch, chunk] token chunk."""
+    from gemma_tpu.models.gemma import forward
+    from gemma_tpu.models.kv_cache import KVCache
+    from gemma_tpu.utils.synth import synth_params
+
+    params = jax.device_put(synth_params(config, kind=kind, seed=0))
+    cache = KVCache.create(config, batch, seq_len)
+    tokens = jnp.ones((batch, chunk), jnp.int32)
+    positions = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), (batch, 1))
+    valid = jnp.ones((batch, chunk), bool)
+
+    @jax.jit
+    def step(params, cache):
+        _, cache = forward(params, tokens, positions, cache, config,
+                           return_logits="none", valid=valid)
+        return cache
+
+    cache = step(params, cache)
+    np.asarray(cache.kv[0, 0, 0, 0, 0])  # sync
+    t0 = time.monotonic()
+    for _ in range(reps):
+        cache = step(params, cache)
+    np.asarray(cache.kv[0, 0, 0, 0, 0])
+    dt = (time.monotonic() - t0) / reps
+    del params, cache
+    return {"tok_s": round(batch * chunk / dt, 1),
+            "dt_ms": round(dt * 1e3, 2)}
+
+
+def main() -> None:
+    import os
+
+    from gemma_tpu.models.configs import config_gemma2_2b, config_gemma2_9b
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # This environment pins JAX_PLATFORMS=axon via sitecustomize; honor
+        # an explicit cpu request before the backend initializes.
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        batch, seq, steps = 16, 1024, 32
+    else:  # smoke-test mode off-TPU
+        batch, seq, steps = 4, 128, 4
+
+    def cfg2b():
+        return config_gemma2_2b() if on_tpu else smoke_config()
+
+    extra = {}
+
+    print("measuring 2B i8 decode (serving default)...", file=sys.stderr)
+    head = measure_decode(cfg2b(), "i8", "i8", batch, seq, steps)
+    print(f"  {head}", file=sys.stderr)
+
+    def try_extra(name, fn):
+        try:
+            r = fn()
+            extra[name] = r
+            print(f"  {name}: {r}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — extras must not sink the
+            # headline JSON (e.g. 9B OOM on a smaller chip).
+            print(f"  {name} failed: {str(e)[:120]}", file=sys.stderr)
+
+    print("measuring extras...", file=sys.stderr)
+    try_extra("gemma2_2b_sfp_decode_b16", lambda: {
+        k: v for k, v in measure_decode(
+            cfg2b(), "sfp", "bf16", batch, seq, steps).items()
+        if k in ("tok_s", "vs_sol")})
+    try_extra("gemma2_2b_sfp_prefill_b4x256", lambda: {
+        "tok_s": measure_prefill(cfg2b(), "sfp", 4, 256 if on_tpu else 32,
+                                 seq, reps=4 if on_tpu else 2)["tok_s"]})
+    if on_tpu:
+        # 9B sfp (9.3 GB) + KV must fit 16 GB HBM: batch 8, seq 512.
+        try_extra("gemma2_9b_sfp_decode_b8", lambda: {
+            k: v for k, v in measure_decode(
+                config_gemma2_9b(), "sfp", "bf16", 8, 512, 16).items()
+            if k in ("tok_s", "vs_sol")})
+
     print(json.dumps({
-        "metric": "gemma2_2b_sfp_decode_b16",
-        "value": round(tok_s, 2),
+        "metric": "gemma2_2b_i8_decode_b16",
+        "value": head["tok_s"],
         "unit": "tok/s",
-        "vs_baseline": round(vs, 4),
+        "vs_baseline": head["vs_sol"],
+        "extra": extra,
     }))
 
 

@@ -100,10 +100,12 @@ def embed_tokens(
         shaped = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
         rows = (inv[..., None] * (shaped - zp[..., None])).reshape(codes.shape)
     elif embedding.kind == "nuq4":
-        codes = embedding.arrays["codes"][tokens].astype(jnp.int32)
-        tables = embedding.arrays["tables"][tokens]  # [..., G*16] flat
-        k = codes.shape[-1]
-        g = jnp.arange(k, dtype=jnp.int32) // 256
+        from gemma_tpu.compression.sfp import decode_jax
+        from gemma_tpu.ops.matmul import _unpack_nuq4
+
+        codes = _unpack_nuq4(embedding.arrays["codes"][tokens])[..., :model_dim]
+        tables = decode_jax(embedding.arrays["tables"][tokens], jnp.float32)
+        g = jnp.arange(model_dim, dtype=jnp.int32) // 256
         rows = jnp.take_along_axis(tables, codes + g * 16, axis=-1)
     else:
         raise ValueError(embedding.kind)

@@ -90,7 +90,32 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     model here over- rather than under-estimates (factor 4 on dequant
     temporaries, measured against Mosaic's scoped-vmem accounting)."""
     k_align = 256 if kind == "nuq4" else 128
-    bk_full = round_up(min(k, 4096), k_align)
+    # bk must DIVIDE the padded K: a non-dividing block materializes a
+    # padded copy of every weight array in HBM (fatal at 27B scale).
+    # nuq4 additionally needs a lane-legal tables block: gk*16 % 128 == 0
+    # (bk % 2048 == 0) unless bk == kp (block == whole array).
+    kp = round_up(k, k_align)
+    # nuq4 codes are nibble-packed (bk/2 bytes per block row), so full-K
+    # blocks stay VMEM-cheap far past the byte codecs' cap.
+    vmem_cap = 16384 if kind == "nuq4" else 4096
+
+    def bk_ok(cand):
+        if kp % cand:
+            return False
+        if kind == "nuq4":
+            return cand % 2048 == 0 or cand == kp
+        return True
+
+    bk_full = k_align
+    if kp <= vmem_cap and bk_ok(kp):
+        bk_full = kp
+    else:
+        cand = min(kp, 4096) // k_align * k_align
+        while cand >= k_align:
+            if bk_ok(cand):
+                bk_full = cand
+                break
+            cand -= k_align
     b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
     # bm=128 fills the MXU; larger only shaves grid overhead but doubles
     # the A tile and accumulator.
@@ -215,9 +240,10 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
         arrays = {"codes": jnp.asarray(rng.integers(0, 128, (n, k), dtype=np.uint8))}
     elif kind == "nuq4":
         arrays = {
-            "codes": jnp.asarray(rng.integers(0, 16, (n, k), dtype=np.uint8)),
+            "codes": jnp.asarray(
+                rng.integers(0, 256, (n, k // 2), dtype=np.uint8)),
             "tables": jnp.asarray(
-                rng.normal(0, 1, (n, (k // 256) * 16)).astype(np.float32)),
+                rng.integers(0, 128, (n, (k // 256) * 16), dtype=np.uint8)),
         }
     else:
         arrays = {

@@ -23,10 +23,15 @@ Weight containers (device side):
             because NUQ tables store centers as SFP (nuq-inl.h:649-651);
             dequant is then identical to "sfp" (1 byte/value HBM traffic,
             minimal VPU work)
-  - "nuq4": codes u8 [N, K] (4-bit idx) + tables f32 [N, G*16] flat;
-            dequant via the hardware lane gather (tpu.dynamic_gather) —
-            each 128-lane code chunk indexes a 128-lane window of its
-            groups' tables (8 groups x 16 entries per window)
+  - "nuq4": codes u8 [N, Kp/2] — TWO 4-bit indices per byte in a
+            split-halves layout (byte g*128+j holds group-g elements j
+            [lo nibble] and 128+j [hi nibble]) — plus tables as SFP BYTES
+            u8 [N, G*16] (centers are SFP-valued, nuq-inl.h:649-651), so
+            the device footprint is the true 4.5 bits/value (27B fits one
+            16 GB chip).  Dequant: decode the 128-lane table window
+            u8->f32 once per block, then one hardware lane gather
+            (tpu.dynamic_gather) per 128-lane code chunk with a 2-op
+            nibble unpack
   - "i8":   codes i8 [N, K] + per-128-group inv_scale fma
 
 The per-shape tile autotuner (`MMCandidates`/`MMAutoTune` analog,
@@ -51,6 +56,29 @@ from gemma_tpu.utils.basics import cdiv, round_up
 
 def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _pack_nuq4(codes: np.ndarray) -> np.ndarray:
+    """u8 [N, K] 4-bit codes -> split-halves packed u8 [N, Kp/2].
+
+    Byte g*128+j holds group-g elements j (lo nibble) and 128+j (hi), so
+    each packed 128-lane byte chunk unpacks into two whole 128-lane code
+    chunks with 2 int ops and no cross-lane movement."""
+    n, k = codes.shape
+    kp = round_up(k, 256)
+    c = np.zeros((n, kp), np.uint8)
+    c[:, :k] = codes
+    c = c.reshape(n, kp // 256, 2, 128)
+    return (c[:, :, 0] | (c[:, :, 1] << 4)).reshape(n, kp // 2)
+
+
+def _unpack_nuq4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed u8 [..., Kp/2] -> i32 [..., Kp] codes (inverse of _pack)."""
+    lead = packed.shape[:-1]
+    half = packed.shape[-1]
+    p = packed.astype(jnp.int32).reshape(*lead, half // 128, 128)
+    out = jnp.stack([p & 15, p >> 4], axis=-2)
+    return out.reshape(*lead, half * 2)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -92,11 +120,12 @@ class QuantTensor:
 
             w = decode_jax(self.arrays["codes"], jnp.float32)
         elif self.kind == "nuq4":
-            codes = self.arrays["codes"]
-            tables = self.arrays["tables"]  # [N, G*16] flat
-            n, k = codes.shape
-            g = jnp.arange(k, dtype=jnp.int32) // 256
-            gidx = codes.astype(jnp.int32) + g[None, :] * 16
+            from gemma_tpu.compression.sfp import decode_jax
+
+            codes = _unpack_nuq4(self.arrays["codes"])[:, : self.k]
+            tables = decode_jax(self.arrays["tables"], jnp.float32)
+            g = jnp.arange(self.k, dtype=jnp.int32) // 256
+            gidx = codes + g[None, :] * 16
             w = jnp.take_along_axis(tables, gidx, axis=1)
         elif self.kind == "i8":
             codes = self.arrays["codes"].astype(jnp.float32)
@@ -147,13 +176,17 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
         return QuantTensor("nuq", (n, k), pt.scale, {"codes": jnp.asarray(codes)})
     if kind == "nuq4":
         assert pt.type == Type.NUQ
+        from gemma_tpu.compression import sfp as sfp_codec
+
         tables, codes = nuq_codec.to_device_layout(pt.data, n, k)
-        # Device layout: tables flattened [N, G*16] so the kernel's gather
-        # windows are plain lane slices; decode stays bit-exact.
+        # True 4.5-bit device layout: nibble-packed codes + tables
+        # re-encoded to their exact SFP bytes (centers are SFP-valued,
+        # nuq-inl.h:649-651, so encode(decode(x)) == x bit-exactly).
+        tbytes = sfp_codec.encode(tables.reshape(-1)).reshape(n, -1)
         return QuantTensor(
             "nuq4", (n, k), pt.scale,
-            {"codes": jnp.asarray(codes),
-             "tables": jnp.asarray(tables.reshape(n, -1))},
+            {"codes": jnp.asarray(_pack_nuq4(codes)),
+             "tables": jnp.asarray(tbytes)},
         )
     if kind == "i8":
         assert pt.type == Type.I8
@@ -235,36 +268,42 @@ def _acc_step(kind: str, gk: int, a_ref, b_refs, acc_ref) -> None:
         # 4-bit LUT dequant as ONE hardware lane gather per 128-lane code
         # chunk (tpu.dynamic_gather; the TableLookupLanes analog,
         # nuq-inl.h:575-596): chunk lanes index a 128-lane window of the
-        # flat tables tile holding 8 groups x 16 entries, so a whole vreg
-        # dequantizes in ~2 cycles.  Measured 2.9x over the round-1
-        # select-tree kernel on v5e (43 -> 124 GB/s-eff on M16 K2304
-        # N9216); the remaining gap to HBM roofline is the gather unit's
-        # throughput (~2 cyc/vreg) on top of the astype+dot floor,
-        # documented in docs/PERF.md.
+        # tables tile (8 groups x 16 entries per window), so a whole vreg
+        # dequantizes in ~2 cycles.  Codes arrive nibble-PACKED
+        # (split-halves: one [bn, 128] byte chunk unpacks into two code
+        # chunks with 2 int ops) and tables as their exact SFP bytes,
+        # decoded to f32 once per tile — the true 4.5-bit footprint.
+        # Measured 2.9x over the round-1 select-tree kernel on v5e (43 ->
+        # 124 GB/s-eff on M16 K2304 N9216); the remaining gap to roofline
+        # is the gather unit's throughput (~2 cyc/vreg) on top of the
+        # astype+dot floor, documented in docs/PERF.md.
         b_ref, tbl_ref = b_refs
         tl = gk * 16
+        tblf = _sfp_tile_to_bf16(tbl_ref[...]).astype(jnp.float32)
         windows: dict[int, tuple] = {}
-        for chunk in range(b_ref.shape[1] // 128):
+        unpacked: dict[int, tuple] = {}
+        for chunk in range(b_ref.shape[1] * 2 // 128):
             g = chunk // 2
             sub = g // 8
             if sub not in windows:
                 if tl < 128:
                     # Tiny-K tiles: pad the whole tables tile to one vreg.
-                    t = tbl_ref[...]
                     t = jnp.concatenate(
-                        [t, jnp.zeros((t.shape[0], 128 - tl), t.dtype)],
-                        axis=1)
+                        [tblf, jnp.zeros((tblf.shape[0], 128 - tl),
+                                         tblf.dtype)], axis=1)
                     windows[sub] = (t, 0)
                 elif (sub + 1) * 128 <= tl:
-                    windows[sub] = (tbl_ref[:, sub * 128 : (sub + 1) * 128],
+                    windows[sub] = (tblf[:, sub * 128 : (sub + 1) * 128],
                                     sub * 128)
                 else:
                     # Final partial window: slide back to stay in bounds
                     # (lane-rotate cost on these chunks only).
-                    windows[sub] = (tbl_ref[:, tl - 128 : tl], tl - 128)
+                    windows[sub] = (tblf[:, tl - 128 : tl], tl - 128)
+            if g not in unpacked:
+                c32 = b_ref[:, g * 128 : (g + 1) * 128].astype(jnp.int32)
+                unpacked[g] = (c32 & 15, c32 >> 4)
             t, base = windows[sub]
-            idx = (b_ref[:, chunk * 128 : (chunk + 1) * 128]
-                   .astype(jnp.int32) + (g * 16 - base))
+            idx = unpacked[g][chunk % 2] + (g * 16 - base)
             deq = jnp.take_along_axis(t, idx, axis=1)
             dot_acc(a_ref[:, chunk * 128 : (chunk + 1) * 128], deq)
     elif kind == "i8":
@@ -371,11 +410,13 @@ def _b_inputs(kind: str, arrays: dict, np_: int, kp: int, bn: int, bk: int):
         inputs.append(_pad2(arrays["codes"], np_, kp))
         in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
     elif kind == "nuq4":
-        codes, tables = arrays["codes"], arrays["tables"]  # [n, G*16] flat
+        # codes: nibble-packed u8 [n, Kp/2]; tables: sfp bytes [n, G*16].
+        codes, tables = arrays["codes"], arrays["tables"]
         group = 256
         assert bk % group == 0, "NUQ block_k must cover whole 256-groups"
-        inputs.append(_pad2(codes, np_, kp))
-        in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
+        inputs.append(_pad2(codes, np_, kp // 2))
+        in_specs.append(
+            pl.BlockSpec((bn, bk // 2), lambda i, j, kk: (j, kk)))
         gp = kp // group
         gk = bk // group
         inputs.append(_pad2(tables, np_, gp * 16))

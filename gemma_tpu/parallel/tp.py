@@ -133,6 +133,8 @@ def _localize(qt: QuantTensor) -> QuantTensor:
     """
     key = "w" if "w" in qt.arrays else "codes"
     n, k = qt.arrays[key].shape
+    if qt.kind == "nuq4":
+        k *= 2  # codes are nibble-packed [N, K/2]
     return QuantTensor(qt.kind, (int(n), int(k)), qt.scale, qt.arrays)
 
 

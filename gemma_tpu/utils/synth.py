@@ -48,10 +48,11 @@ def synth_quant(
     elif kind in ("sfp", "nuq"):
         arrays = {"codes": mk((n, k), np.uint8)}
     elif kind == "nuq4":
-        g = k // 256
+        # Nibble-packed codes + sfp-byte tables (ops/matmul.py layout).
+        g = -(-k // 256)
         arrays = {
-            "codes": mk((n, k), np.uint8, hi=16),
-            "tables": mk((n, g * 16), np.float32),
+            "codes": mk((n, g * 128), np.uint8),  # 2 codes/byte
+            "tables": mk((n, g * 16), np.uint8, hi=128),
         }
     elif kind == "i8":
         g = k // 128
@@ -97,7 +98,7 @@ def synth_params(config: ModelConfig, kind: str = "sfp",
                 query_norm=norm(q) if lc.use_qk_norm else None,
             )
         )
-    emb_kind = kind if kind != "nuq4" else "sfp"
+    emb_kind = kind
     return Params(
         embedding=synth_quant(rng, config.vocab_size, d, emb_kind),
         final_norm=norm(d),

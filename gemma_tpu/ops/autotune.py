@@ -239,11 +239,12 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
     elif kind == "nuq":
         arrays = {"codes": jnp.asarray(rng.integers(0, 128, (n, k), dtype=np.uint8))}
     elif kind == "nuq4":
+        tl = round_up((k // 256) * 16, 128)
         arrays = {
             "codes": jnp.asarray(
                 rng.integers(0, 256, (n, k // 2), dtype=np.uint8)),
             "tables": jnp.asarray(
-                rng.integers(0, 128, (n, (k // 256) * 16), dtype=np.uint8)),
+                rng.integers(0, 128, (n, tl), dtype=np.uint8)),
         }
     else:
         arrays = {

@@ -182,11 +182,17 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
         # True 4.5-bit device layout: nibble-packed codes + tables
         # re-encoded to their exact SFP bytes (centers are SFP-valued,
         # nuq-inl.h:649-651, so encode(decode(x)) == x bit-exactly).
+        # Tables pad to 128-lane multiples at LOAD: a non-tile-aligned
+        # lane dim makes XLA materialize a layout-conversion copy per use
+        # (1.5 GB of HLO temps on 27B — fatal).
         tbytes = sfp_codec.encode(tables.reshape(-1)).reshape(n, -1)
+        tl = round_up(tbytes.shape[1], 128)
+        tpad = np.zeros((n, tl), np.uint8)
+        tpad[:, : tbytes.shape[1]] = tbytes
         return QuantTensor(
             "nuq4", (n, k), pt.scale,
             {"codes": jnp.asarray(_pack_nuq4(codes)),
-             "tables": jnp.asarray(tbytes)},
+             "tables": jnp.asarray(tpad)},
         )
     if kind == "i8":
         assert pt.type == Type.I8
@@ -278,27 +284,27 @@ def _acc_step(kind: str, gk: int, a_ref, b_refs, acc_ref) -> None:
         # is the gather unit's throughput (~2 cyc/vreg) on top of the
         # astype+dot floor, documented in docs/PERF.md.
         b_ref, tbl_ref = b_refs
-        tl = gk * 16
         tblf = _sfp_tile_to_bf16(tbl_ref[...]).astype(jnp.float32)
+        w = tblf.shape[1]  # >= gk*16 (lane-padded at load for full-K)
         windows: dict[int, tuple] = {}
         unpacked: dict[int, tuple] = {}
         for chunk in range(b_ref.shape[1] * 2 // 128):
             g = chunk // 2
             sub = g // 8
             if sub not in windows:
-                if tl < 128:
+                if w < 128:
                     # Tiny-K tiles: pad the whole tables tile to one vreg.
                     t = jnp.concatenate(
-                        [tblf, jnp.zeros((tblf.shape[0], 128 - tl),
+                        [tblf, jnp.zeros((tblf.shape[0], 128 - w),
                                          tblf.dtype)], axis=1)
                     windows[sub] = (t, 0)
-                elif (sub + 1) * 128 <= tl:
+                elif (sub + 1) * 128 <= w:
                     windows[sub] = (tblf[:, sub * 128 : (sub + 1) * 128],
                                     sub * 128)
                 else:
                     # Final partial window: slide back to stay in bounds
                     # (lane-rotate cost on these chunks only).
-                    windows[sub] = (tblf[:, tl - 128 : tl], tl - 128)
+                    windows[sub] = (tblf[:, w - 128 : w], w - 128)
             if g not in unpacked:
                 c32 = b_ref[:, g * 128 : (g + 1) * 128].astype(jnp.int32)
                 unpacked[g] = (c32 & 15, c32 >> 4)
@@ -398,6 +404,17 @@ def _pad2(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, pr), (0, pc)))
 
 
+def _legalize_bk(kind: str, bk: int, k_dim: int) -> int:
+    """K-blocked nuq4 needs per-step table slices that tile exactly
+    (block_k % 2048 == 0); otherwise promote to full-K."""
+    if kind != "nuq4":
+        return bk
+    kp = round_up(k_dim, 256)
+    if bk < kp and bk % 2048:
+        return kp
+    return bk
+
+
 def _b_inputs(kind: str, arrays: dict, np_: int, kp: int, bn: int, bk: int):
     """(padded inputs, in_specs, gk) for one B operand of `kind`."""
     inputs: list = []
@@ -410,7 +427,9 @@ def _b_inputs(kind: str, arrays: dict, np_: int, kp: int, bn: int, bk: int):
         inputs.append(_pad2(arrays["codes"], np_, kp))
         in_specs.append(pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)))
     elif kind == "nuq4":
-        # codes: nibble-packed u8 [n, Kp/2]; tables: sfp bytes [n, G*16].
+        # codes: nibble-packed u8 [n, Kp/2]; tables: sfp bytes
+        # [n, round_up(G*16, 128)] (lane-padded at load, see
+        # quant_tensor_from_packed).
         codes, tables = arrays["codes"], arrays["tables"]
         group = 256
         assert bk % group == 0, "NUQ block_k must cover whole 256-groups"
@@ -419,9 +438,20 @@ def _b_inputs(kind: str, arrays: dict, np_: int, kp: int, bn: int, bk: int):
             pl.BlockSpec((bn, bk // 2), lambda i, j, kk: (j, kk)))
         gp = kp // group
         gk = bk // group
-        inputs.append(_pad2(tables, np_, gp * 16))
-        in_specs.append(
-            pl.BlockSpec((bn, gk * 16), lambda i, j, kk: (j, kk)))
+        if kp // bk == 1:
+            # Full-K: the block is the whole (lane-padded) tables array.
+            tl_arr = max(tables.shape[1], round_up(gp * 16, 128))
+            inputs.append(_pad2(tables, np_, tl_arr))
+            in_specs.append(
+                pl.BlockSpec((bn, tl_arr), lambda i, j, kk: (j, 0)))
+        else:
+            # K-blocked: per-step table slices must tile exactly, which
+            # requires gk*16 % 128 == 0 (the block picker guarantees it).
+            assert (gk * 16) % 128 == 0, (
+                "K-blocked nuq4 needs block_k % 2048 == 0")
+            inputs.append(_pad2(tables, np_, gp * 16))
+            in_specs.append(
+                pl.BlockSpec((bn, gk * 16), lambda i, j, kk: (j, kk)))
     elif kind == "i8":
         codes = arrays["codes"]
         inv_s, zp = arrays["inv_scales"], arrays["zeropoints"]
@@ -466,6 +496,7 @@ def _matmul_pallas(
     bm = min(block_m, round_up(m, 8))
     bn = min(block_n, round_up(n, 128))
     bk = min(block_k, round_up(k_dim, 128))
+    bk = _legalize_bk(kind, bk, k_dim)
     mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k_dim, bk)
 
     a_pad = _pad2(a, mp, kp)
@@ -523,6 +554,7 @@ def _gated_pallas(
     bm = min(block_m, round_up(m, 8))
     bn = min(block_n, round_up(n, 128))
     bk = min(block_k, round_up(k_dim, 128))
+    bk = _legalize_bk(kind, bk, k_dim)
     mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k_dim, bk)
 
     a_pad = _pad2(a, mp, kp)

@@ -48,11 +48,13 @@ def synth_quant(
     elif kind in ("sfp", "nuq"):
         arrays = {"codes": mk((n, k), np.uint8)}
     elif kind == "nuq4":
-        # Nibble-packed codes + sfp-byte tables (ops/matmul.py layout).
+        # Nibble-packed codes + lane-padded sfp-byte tables
+        # (ops/matmul.py layout).
         g = -(-k // 256)
+        tl = -(-(g * 16) // 128) * 128
         arrays = {
             "codes": mk((n, g * 128), np.uint8),  # 2 codes/byte
-            "tables": mk((n, g * 16), np.uint8, hi=128),
+            "tables": mk((n, tl), np.uint8, hi=128),
         }
     elif kind == "i8":
         g = k // 128

@@ -195,7 +195,21 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
              "tables": jnp.asarray(tpad)},
         )
     if kind == "i8":
-        assert pt.type == Type.I8
+        if pt.type != Type.I8:
+            # Transcode any stream codec to the i8 serving layout
+            # (`--kind i8`, the TPU serving default — README): decode to
+            # f32 and re-encode per-128-group affine.  Quality floor is
+            # the source codec's (sfp ~31 dB); i8 re-encode adds ~0.2 dB.
+            stream = int8_codec.encode(pt.to_f32().reshape(-1))
+            codes, inv_scales, zp = int8_codec.to_device_layout(stream, n, k)
+            return QuantTensor(
+                "i8", (n, k), 1.0,
+                {
+                    "codes": jnp.asarray(codes),
+                    "inv_scales": jnp.asarray(inv_scales),
+                    "zeropoints": jnp.asarray(zp),
+                },
+            )
         codes, inv_scales, zp = int8_codec.to_device_layout(pt.data, n, k)
         return QuantTensor(
             "i8", (n, k), pt.scale,

@@ -165,3 +165,21 @@ def test_gated_ffn_fused_matches_fallback(kind):
                                  use_pallas=False)).astype(np.float32)
     np.testing.assert_allclose(got.astype(np.float32), dense,
                                atol=5e-3 * np.abs(dense).max())
+
+
+def test_transcode_sfp_stream_to_i8():
+    """--kind i8 on a non-i8 checkpoint transcodes (serving default)."""
+    rng = np.random.default_rng(9)
+    n, k = 16, 512
+    w = rng.normal(0, 0.3, (n, k)).astype(np.float32)
+    pt = compress_tensor(Type.SFP, "w", w)
+    qt = quant_tensor_from_packed(pt, kind="i8")
+    assert qt.kind == "i8"
+    # Transcoded decode stays close to the sfp decode (i8 re-encode adds
+    # little on top of the sfp floor).
+    src = pt.to_f32().reshape(n, k)
+    got = np.asarray(qt.dequantize())
+    err = np.abs(got - src).max()
+    assert err < 0.02, err
+    snr = 10 * np.log10((src**2).mean() / ((got - src)**2).mean() + 1e-12)
+    assert snr > 35, snr

@@ -15,3 +15,30 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (the TPU-side analog of
+    the reference's autotune persistence: 'second and especially third
+    query faster', README.md:337 — but for compile time, which dominates
+    startup on tunneled backends).  Opt out: GEMMA_TPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("GEMMA_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/gemma_tpu/xla"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -75,6 +75,24 @@ def test_mesh_topk_sampling_matches_single():
     assert got == want
 
 
+def test_mesh_allowed_tokens_matches_single(engines):
+    """Chunked mesh decode applies the allowed-token mask on device
+    identically to the single-device engine (run_mmlu's TokenSet path)."""
+    single, sharded = engines
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(2, 500, n)) for n in (3, 5, 4, 6)]
+    allowed = sorted(set(int(t) for t in rng.integers(2, 500, 40)))
+    want = single.generate_batch([list(p) for p in prompts],
+                                 max_generated_tokens=4,
+                                 allowed_tokens=allowed)
+    got = sharded.generate_batch([list(p) for p in prompts],
+                                 max_generated_tokens=4,
+                                 allowed_tokens=allowed)
+    assert got == want
+    assert all(t in allowed or t == single.config.eos_id
+               for o in got for t in o)
+
+
 def test_mesh_image_splice(engines):
     """Image embeddings splice identically on the mesh."""
     single, sharded = engines

@@ -142,21 +142,25 @@ def measure_prefill(config, kind: str, batch: int, chunk: int,
     valid = jnp.ones((batch, chunk), bool)
 
     @jax.jit
-    def step(params, cache):
-        _, cache = forward(params, tokens, positions, cache, config,
-                           return_logits="none", valid=valid)
+    def run(params, cache):
+        # All reps inside ONE executable (CLAUDE.md methodology: never
+        # time separately-dispatched calls on the tunneled backend).
+        def body(cache, _):
+            _, cache = forward(params, tokens, positions, cache, config,
+                               return_logits="none", valid=valid)
+            return cache, ()
+
+        cache, _ = jax.lax.scan(body, cache, None, length=reps)
         return cache
 
     from gemma_tpu.ops.autotune import _dispatch_overhead
 
-    cache = step(params, cache)
+    cache = run(params, cache)
     np.asarray(cache.kv[0, 0, 0, 0, 0])  # sync
     overhead = _dispatch_overhead()
     t0 = time.monotonic()
-    for _ in range(reps):
-        cache = step(params, cache)
+    cache = run(params, cache)
     np.asarray(cache.kv[0, 0, 0, 0, 0])
-    # Steps queue asynchronously; one trailing sync pays the overhead.
     dt = max(time.monotonic() - t0 - overhead, 1e-9) / reps
     del params, cache
     return {"tok_s": round(batch * chunk / dt, 1),
@@ -203,7 +207,7 @@ def main() -> None:
         if k in ("tok_s", "vs_sol")})
     try_extra("gemma2_2b_sfp_prefill_b4x256", lambda: {
         "tok_s": measure_prefill(cfg2b(), "sfp", 4, 256 if on_tpu else 32,
-                                 seq, reps=4 if on_tpu else 2)["tok_s"]})
+                                 seq, reps=16 if on_tpu else 2)["tok_s"]})
     if on_tpu:
         # 9B sfp (9.3 GB) + KV must fit 16 GB HBM: batch 8, seq 512.
         try_extra("gemma2_9b_sfp_decode_b8", lambda: {

@@ -140,8 +140,12 @@ class GemmaEngine:
             self._prefill_fns[key] = step
         return self._prefill_fns[key]
 
-    def _decode_fn(self, batch: int):
-        if batch not in self._decode_fns:
+    def _decode_fn(self, batch: int, with_valid: bool = False):
+        """with_valid adds a [B, 1] bool arg routing masked slots' KV
+        writes to the garbage row (continuous-batcher padding slots must
+        not write real ring rows, engine/serving.py)."""
+        key = (batch, with_valid)
+        if key not in self._decode_fns:
             config = self.config
 
             if self.mesh is not None:
@@ -151,23 +155,25 @@ class GemmaEngine:
                                         return_logits="last",
                                         seq_len=self.runtime.seq_len)
 
-                def step(params, prev_tokens, positions, cache):
-                    valid = jnp.ones_like(prev_tokens, bool)
+                def step(params, prev_tokens, positions, cache, *valid):
+                    v = valid[0] if valid else jnp.ones_like(prev_tokens,
+                                                             bool)
                     pe = jnp.zeros((prev_tokens.shape[0],), jnp.int32)
                     return tp_step(params, prev_tokens, positions,
-                                   valid, pe, cache)
+                                   v, pe, cache)
             else:
 
                 @functools.partial(jax.jit, donate_argnums=(3,))
-                def step(params, prev_tokens, positions, cache):
+                def step(params, prev_tokens, positions, cache, *valid):
                     logits, cache = forward(
                         params, prev_tokens, positions, cache, config,
                         return_logits="last",
+                        valid=valid[0] if valid else None,
                     )
                     return logits, cache
 
-            self._decode_fns[batch] = step
-        return self._decode_fns[batch]
+            self._decode_fns[key] = step
+        return self._decode_fns[key]
 
     def _decode_chunk_fn(self, batch: int, k: int, with_mask: bool = False):
         """k decode+sample steps in one executable (lax.scan), returning

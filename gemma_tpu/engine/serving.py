@@ -151,10 +151,18 @@ class ContinuousBatcher:
             return
         prev = np.asarray([s.prev_token for s in self._slots], np.int32)
         pos = [s.pos for s in self._slots]
-        decode = self.engine._decode_fn(self.slots)
+        # Padding slots (empty or still admitting) must not write a real
+        # ring row: a garbage row at their stale pos could alias a
+        # still-attendable position of a prompt being admitted into the
+        # same ring (sliding-window pools wrap), silently corrupting it.
+        # The valid mask routes their KV write to the garbage row.
+        valid = np.asarray([[s.request is not None and not s.admitting]
+                            for s in self._slots], bool)
+        decode = self.engine._decode_fn(self.slots, with_valid=True)
         logits, cache = decode(
             self.engine.params, jnp.asarray(prev[:, None]),
-            jnp.asarray(np.asarray(pos, np.int32)[:, None]), self.cache)
+            jnp.asarray(np.asarray(pos, np.int32)[:, None]), self.cache,
+            jnp.asarray(valid))
         self.cache.assign(cache)
         tokens, probs = self.engine._sample(logits, pos, None)
         config = self.engine.config

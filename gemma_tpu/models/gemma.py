@@ -156,8 +156,11 @@ def transformer_layer(
     q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
 
     window = config.attention_window_sizes[layer_idx]
-    is_decode = (t == 1 and valid is None
-                 and isinstance(prefix_end, int) and prefix_end == 0)
+    # T == 1 with an integer prefix is the decode hot path; a valid mask
+    # routes masked slots' KV writes to the garbage row (a padding slot in
+    # a shared decode step must NOT write a real ring row — it could alias
+    # a still-attendable position of a prompt being admitted, serving.py).
+    is_decode = (t == 1 and isinstance(prefix_end, int) and prefix_end == 0)
     if is_decode:
         # Decode hot path: in-place Pallas row write + fused attention
         # kernel on TPU (XLA fallback elsewhere) — ops/decode_attention.py.

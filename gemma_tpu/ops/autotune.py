@@ -62,6 +62,11 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
             for bk in (256, 512, 1024, 2048, 4096, bk_full):
                 if bk % k_align or bk > bk_full:
                     continue
+                if kind == "nuq4" and bk % 2048 and bk != bk_full:
+                    # _legalize_bk promotes these to full-K at call time;
+                    # timing them would measure bk_full repeatedly and
+                    # persist a misleading winner label.
+                    continue
                 chunk = 256 if kind == "nuq4" else bk
                 # nuq4's gather dequant keeps i32 index + f32 result
                 # temporaries per chunk; the byte codecs only materialize

@@ -669,6 +669,25 @@ def gated_ffn(
             from gemma_tpu.ops.autotune import best_blocks
 
             blocks = best_blocks(x.shape[0], w1.k, w1.n, w1.kind)
+        # Blocks are tuned for the single-B plain kernel; the gated kernel
+        # doubles the B operands and accumulators.  Inside an enclosing
+        # jit the except-fallback below CANNOT catch a Mosaic VMEM error
+        # (it surfaces at the outer executable's compile), so guard
+        # analytically and shrink bn first.
+        bm, bn, bk = blocks
+        bkl = _legalize_bk(w1.kind, min(bk, round_up(w1.k, 128)), w1.k)
+        b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
+                   "i8": 1}[w1.kind]
+        per_elem = 0 if w1.kind in ("f32", "bf16") else 8
+
+        def est_vmem(bn_):
+            return (2 * (bm * bkl * 2 + 2 * bn_ * bkl * b_bytes)
+                    + 2 * bn_ * min(bkl, 512) * per_elem
+                    + 2 * bn_ * bkl * 2 + 2 * bm * bn_ * 4)
+
+        while bn > 128 and est_vmem(bn) > 10 * 1024 * 1024:
+            bn //= 2
+        blocks = (bm, max(bn, 128), bk)
         key = (w1.kind, w1.shape, blocks)
         if key not in _GATED_UNSUPPORTED:
             try:

@@ -110,10 +110,65 @@ def tp_layout(params: Params, config: ModelConfig, tp: int) -> Params:
     )
 
 
+def _pad_tables_for_col_shard(qt: QuantTensor, tp: int) -> QuantTensor:
+    """Re-layout a nuq4 tensor's tables for equal col-shard slicing.
+
+    Loaded tables are [N, round_up(G*16, 128)] with ONE trailing pad run;
+    shard_map slices dim 1 into tp equal parts, which misaligns with the
+    16-lane group runs whenever (G/tp) % 8 != 0.  This re-lays them as
+    [N, tp * round_up(G/tp*16, 128)]: each shard's groups padded
+    independently, so every equal slice is that shard's own lane-aligned
+    table block.  (The re-laid tensor is for the sharded KERNEL path only;
+    host-side dequantize() assumes the contiguous layout.)
+    """
+    if qt.kind != "nuq4" or tp == 1:
+        return qt
+    import numpy as np_
+
+    from gemma_tpu.utils.basics import round_up
+
+    tables = np_.asarray(qt.arrays["tables"])
+    n = tables.shape[0]
+    g = round_up(qt.k, 256) // 256
+    assert g % tp == 0, (qt.k, tp)
+    gl = g // tp
+    tl_l = round_up(gl * 16, 128)
+    if tp * tl_l == tables.shape[1] and gl % 8 == 0:
+        return qt  # already uniformly aligned
+    out = np_.zeros((n, tp * tl_l), tables.dtype)
+    for i in range(tp):
+        out[:, i * tl_l : i * tl_l + gl * 16] = \
+            tables[:, i * gl * 16 : (i + 1) * gl * 16]
+    arrays = dict(qt.arrays)
+    arrays["tables"] = jnp.asarray(out)
+    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays)
+
+
 def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
     """device_put every leaf with its NamedSharding (weights land already
     sharded — the AllocateAndBindAll analog, gemma/weights.cc:521-547)."""
-    specs = tp_layout(params, config, mesh.shape["model"])
+    tp = mesh.shape["model"]
+    # Col-sharded nuq4 tensors need per-shard-aligned table layouts.
+    layers = [
+        dataclasses.replace(
+            lp,
+            att_w=_pad_tables_for_col_shard(lp.att_w, tp),
+            linear=_pad_tables_for_col_shard(lp.linear, tp),
+        )
+        for lp in params.layers
+    ]
+    vit = params.vit
+    if vit is not None:
+        vit = dataclasses.replace(
+            vit,
+            layers=[dataclasses.replace(
+                vl,
+                attn_out_w=_pad_tables_for_col_shard(vl.attn_out_w, tp),
+                linear_1_w=_pad_tables_for_col_shard(vl.linear_1_w, tp),
+            ) for vl in vit.layers],
+        )
+    params = dataclasses.replace(params, layers=layers, vit=vit)
+    specs = tp_layout(params, config, tp)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
     )
@@ -134,7 +189,13 @@ def _localize(qt: QuantTensor) -> QuantTensor:
     key = "w" if "w" in qt.arrays else "codes"
     n, k = qt.arrays[key].shape
     if qt.kind == "nuq4":
-        k *= 2  # codes are nibble-packed [N, K/2]
+        # codes are nibble-packed [N, Kp/2]; recover the local LOGICAL K
+        # from the global aux: k_local = K * (local packed width) /
+        # (global packed width).  Exact for both row shards (width
+        # unchanged -> K) and col shards (width/tp -> K/tp).
+        from gemma_tpu.utils.basics import round_up
+
+        k = qt.k * (2 * k) // round_up(qt.k, 256)
     return QuantTensor(qt.kind, (int(n), int(k)), qt.scale, qt.arrays)
 
 

@@ -74,7 +74,18 @@ def vit_tp_layout(vit: VitParams, config: ModelConfig, tp: int) -> VitParams:
 
 def shard_vit_params(vit: VitParams, config: ModelConfig,
                      mesh: Mesh) -> VitParams:
-    specs = vit_tp_layout(vit, config, mesh.shape["model"])
+    from gemma_tpu.parallel.tp import _pad_tables_for_col_shard
+
+    tp = mesh.shape["model"]
+    vit = dataclasses.replace(
+        vit,
+        layers=[dataclasses.replace(
+            vl,
+            attn_out_w=_pad_tables_for_col_shard(vl.attn_out_w, tp),
+            linear_1_w=_pad_tables_for_col_shard(vl.linear_1_w, tp),
+        ) for vl in vit.layers],
+    )
+    specs = vit_tp_layout(vit, config, tp)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), vit, specs)
 

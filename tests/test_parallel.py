@@ -169,3 +169,33 @@ def test_overlap_chunked_psum_bitexact():
         logits, _ = step(p_sh, tokens, positions, valid, pe, cache)
         outs.append(np.asarray(logits))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_nuq4_col_shard_table_alignment():
+    """Code-review r2: equal col-shard slices of the lane-padded nuq4
+    tables misalign whenever (G/tp) % 8 != 0.  shard_params re-lays them
+    per shard; each shard's slice must decode its own K-range exactly."""
+    import jax.numpy as jnp
+    from gemma_tpu.ops.matmul import QuantTensor, _unpack_nuq4
+    from gemma_tpu.parallel.tp import _localize, _pad_tables_for_col_shard
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(31)
+    n, k, tp = 8, 5120, 2  # G=20, G/tp=10 -> 10 % 8 != 0 (the bad case)
+    qt = synth_quant(rng, n, k, "nuq4")
+    dense = np.asarray(qt.dequantize())
+
+    padded = _pad_tables_for_col_shard(qt, tp)
+    tl = padded.arrays["tables"].shape[1]
+    assert tl % tp == 0
+    kl = k // tp
+    for i in range(tp):
+        # Exactly what shard_map's equal slicing hands each chip:
+        codes_l = padded.arrays["codes"][:, i * kl // 2 : (i + 1) * kl // 2]
+        tables_l = padded.arrays["tables"][:, i * tl // tp : (i + 1) * tl // tp]
+        local = _localize(QuantTensor("nuq4", (n, k), qt.scale,
+                                      {"codes": codes_l,
+                                       "tables": tables_l}))
+        assert local.k == kl
+        got = np.asarray(local.dequantize())
+        np.testing.assert_array_equal(got, dense[:, i * kl : (i + 1) * kl])

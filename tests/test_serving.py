@@ -109,3 +109,69 @@ def test_admission_does_not_stall_decodes(engine):
     batcher.run_until_idle()
     assert long_req.output == engine.generate(
         list(long_req.prompt_ids), max_generated_tokens=3)
+
+
+def test_admission_ring_aliasing_regression():
+    """Code-review r2: while a long prompt admits into a sliding-window
+    ring, the OTHER (padding/decoding) slots' shared decode steps must not
+    write real ring rows — a garbage row at a stale pos can alias a
+    still-attendable position of the admitting prompt.  Prompt longer
+    than the local ring + admission chunks forces the window to wrap
+    mid-admission; output must still match solo generation."""
+    from tests.test_model import random_weights, tiny_config, to_params
+
+    config = tiny_config(num_layers=2)
+    config.max_seq_len = 96
+    config.attention_window_sizes = [8, 96]  # layer 0: local ring
+    config.eos_id = -1
+    config.secondary_eos_id = -1
+    rng = np.random.default_rng(11)
+    params = to_params(random_weights(config, rng), config)
+    eng = GemmaEngine(params, config,
+                      RuntimeConfig(seq_len=96, prefill_tbatch_size=8,
+                                    decode_qbatch_size=2))
+
+    long_prompt = [int(t) for t in rng.integers(2, 100, 60)]
+    want = eng.generate(list(long_prompt), max_generated_tokens=4)
+
+    batcher = ContinuousBatcher(eng, slots=2, seq_len=96,
+                                admission_chunk=8)
+    # Force a real sliding-window ring (ring 24 << prompt 60) so the
+    # garbage row (pos 59 % 24 == 11) aliases already-written attendable
+    # positions; the default engine slack would fall back to one pool.
+    from gemma_tpu.models.kv_cache import KVCache
+
+    batcher.cache = KVCache.create(config, 2, 96, local_slack=16)
+    assert batcher.cache.kv_local is not None
+    ring = batcher.cache.seq_len_local  # 24
+
+    # Invariant probe: sentinel-fill slot 1's local ring, run ONE tick
+    # (slot 0 decodes, slot 1 prefills its first admission chunk).  With
+    # the old no-valid decode, slot 1's padding ride wrote garbage at
+    # ring row pos%ring = 59%24 = 11 — a row its later chunks attend.
+    short = batcher.submit(Request([2, 5, 9], max_tokens=3))
+    long_req = batcher.submit(Request(list(long_prompt), max_tokens=4))
+    import jax.numpy as jnp
+
+    sentinel = jnp.full_like(batcher.cache.kv_local, -5.0)
+    batcher.cache.kv_local = sentinel
+    batcher.step()
+    kvl = np.asarray(batcher.cache.kv_local)
+    chunk_rows = set(range(0, 8))          # written by admission chunk 0
+    garbage_alias = 59 % ring              # the old bug's landing row
+    assert garbage_alias not in chunk_rows
+    assert np.all(kvl[1, :, :, :, garbage_alias] == -5.0), (
+        "padding-slot decode wrote a real ring row of the admitting slot")
+    untouched = [r for r in range(ring) if r not in chunk_rows]
+    assert np.all(kvl[1, :, :, :, untouched] == -5.0)
+
+    # And end-to-end: the long request still matches solo generation.
+    # (Restore real cache state by re-running from scratch.)
+    batcher2 = ContinuousBatcher(eng, slots=2, seq_len=96,
+                                 admission_chunk=8)
+    batcher2.cache = KVCache.create(config, 2, 96, local_slack=16)
+    s2 = batcher2.submit(Request([2, 5, 9], max_tokens=3))
+    l2 = batcher2.submit(Request(list(long_prompt), max_tokens=4))
+    batcher2.run_until_idle()
+    assert s2.done and l2.done
+    assert l2.output == want

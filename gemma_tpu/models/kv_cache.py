@@ -150,16 +150,21 @@ class KVCache:
         use_local = (split_local and local_windows
                      and max(local_windows) + local_slack < seq_len)
 
+        # Ring + 1 garbage row, padded to the dtype's sublane tile (16 for
+        # bf16, 32 for i8) so the in-place row-write kernel's tiles never
+        # cross the array bound.
+        tile = 32 if quant else 16
+
         def alloc(n, ring):
             return jnp.zeros(
-                (batch, n, 2, lc.kv_heads, round_up(ring + 1, 16),
+                (batch, n, 2, lc.kv_heads, round_up(ring + 1, tile),
                  lc.qkv_dim), dtype)
 
         def alloc_scale(n, ring):
             if not quant:
                 return None
             return jnp.zeros(
-                (batch, n, 2, lc.kv_heads, 1, round_up(ring + 1, 16)),
+                (batch, n, 2, lc.kv_heads, 1, round_up(ring + 1, tile)),
                 jnp.float32)
 
         if not use_local:

@@ -64,6 +64,13 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
         # i8 codes are exact in bf16; scales apply to the outputs below.
         k = k.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
+    # Zero V rows past the array: the trailing S block may read
+    # out-of-bounds VMEM garbage under NATIVE lowering (interpret mode
+    # zero-pads), and 0 * NaN from the p@V dot would poison the
+    # accumulator even though p is 0 there.  K needs no guard: garbage
+    # scores are replaced by NEG_INF in the masked where below.
+    s_sub = sb * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
+    v = jnp.where(s_sub < seq_len, v, 0)
 
     # Mask (see attention_mask): absolute position of each cache row.
     # Built directly at [rows, bs] with row -> t = row // groups (q rows are

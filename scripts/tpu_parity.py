@@ -1,0 +1,115 @@
+"""On-hardware parity: native Pallas kernels vs their XLA fallbacks.
+
+The hermetic suite runs kernels in interpret mode on CPU; this script
+asserts the same parity with NATIVE Mosaic lowering on a real TPU (the
+claim in docs/ARCHITECTURE.md).  Run on any TPU host:
+
+    python scripts/tpu_parity.py
+
+Covers: all matmul codecs vs dense-dequant dots, the fused gated-FFN
+kernel, decode attention + in-place KV writes (bf16 and i8 caches), and
+flash prefill attention — each vs its use_pallas=False path.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, rtol, atol_scale):
+    """Scale-aware bound: |err| <= rtol*|want| + atol_scale*max|want|.
+
+    The Pallas kernels are often MORE exact than the dense fallbacks
+    (i8's affine never rounds weights to bf16), so elementwise relative
+    comparison at small outputs is the wrong yardstick."""
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    err = np.abs(got - want)
+    bound = atol_scale * np.abs(want).max() + rtol * np.abs(want)
+    ok = bool((err <= bound).all()) and not np.isnan(got).any()
+    worst = float((err / (np.abs(want).max() + 1e-9)).max())
+    print(f"{'PASS' if ok else 'FAIL'}  {name:<42} "
+          f"worst err/scale {worst:.2e}")
+    return ok
+
+
+def main() -> None:
+    from gemma_tpu.models.configs import config_gemma2_2b
+    from gemma_tpu.models.kv_cache import KVCache
+    from gemma_tpu.ops.decode_attention import decode_attention, kv_write_decode
+    from gemma_tpu.ops.flash_attention import flash_prefill_attention
+    from gemma_tpu.ops.matmul import gated_ffn, matmul
+    from gemma_tpu.ops.ops import gelu
+    from gemma_tpu.utils.synth import synth_quant
+
+    assert jax.default_backend() != "cpu", "run on a TPU host"
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # --- GEMM codecs ---
+    m, k, n = 16, 2304, 1024
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    for kind in ("bf16", "sfp", "nuq", "nuq4", "i8"):
+        w = synth_quant(rng, n, k, kind)
+        got = matmul(a, w)
+        want = matmul(a, w, use_pallas=False)
+        tol = 5e-2 if kind == "i8" else 2e-2
+        ok &= check(f"matmul[{kind}] vs dense fallback", got, want,
+                    rtol=tol, atol_scale=tol)
+
+    w1 = synth_quant(rng, n, k, "sfp")
+    w2 = synth_quant(rng, n, k, "sfp")
+    got = gated_ffn(a, w1, w2, out_dtype=jnp.float32)
+    want = gelu(matmul(a, w1)) * matmul(a, w2)
+    ok &= check("gated_ffn fused vs composed", got, want, 1e-2, 1e-2)
+
+    # --- attention (D=256 is lane-aligned: native kernels engage) ---
+    config = config_gemma2_2b()
+    B, SEQ, KVH, H, D = 4, 512, 4, 8, 256
+    for kind in ("bf16", "i8"):
+        cache = KVCache.create(config, B, SEQ, kind=kind)
+        kk = jnp.asarray(rng.normal(0, 0.5, (B, 200, KVH, D)).astype(np.float32))
+        vv = jnp.asarray(rng.normal(0, 0.5, (B, 200, KVH, D)).astype(np.float32))
+        pos = jnp.tile(jnp.arange(200, dtype=jnp.int32), (B, 1))
+        cache = cache.update(0, pos, kk, vv)
+
+        q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+        p1 = jnp.full((B, 1), 199, jnp.int32)
+        got = decode_attention(cache, 0, q, p1, SEQ, att_cap=50.0,
+                               use_pallas=True)
+        want = decode_attention(cache, 0, q, p1, SEQ, att_cap=50.0,
+                                use_pallas=False)
+        ok &= check(f"decode_attention[{kind}] native vs XLA", got, want,
+                    2e-2, 2e-2)
+
+        k1 = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+        v1 = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+        p2 = jnp.full((B, 1), 200, jnp.int32)
+        c_native = kv_write_decode(cache.copy(), 0, p2, k1, v1,
+                                   use_pallas=True)
+        c_xla = kv_write_decode(cache.copy(), 0, p2, k1, v1,
+                                use_pallas=False)
+        ok &= check(f"kv_write_decode[{kind}] native vs XLA",
+                    c_native.k_layer(0), c_xla.k_layer(0), 1e-6, 1e-6)
+
+        t = 64
+        qp = jnp.asarray(rng.normal(0, 1, (B, t, H, D)).astype(np.float32))
+        posp = jnp.tile(jnp.arange(136, 200, dtype=jnp.int32), (B, 1))
+        got = flash_prefill_attention(cache, 0, qp, posp, SEQ, att_cap=50.0,
+                                      use_pallas=True)
+        want = flash_prefill_attention(cache, 0, qp, posp, SEQ,
+                                       att_cap=50.0, use_pallas=False)
+        ok &= check(f"flash_prefill[{kind}] native vs XLA", got, want,
+                    2e-2, 2e-2)
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

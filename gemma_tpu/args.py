@@ -23,7 +23,7 @@ class LoaderArgs:
     weights: str = field("", "Path to model weights (.sbs) file")
     tokenizer: str = field("", "Path to tokenizer file (if not in weights)")
     to_bf16: bool = field(False, "Decompress weights to bf16 on load")
-    kind: str = field("", "Override device codec: bf16|sfp|nuq|nuq4|i8")
+    kind: str = field("", "Override device codec: bf16|sfp|nuq|nuq4|i4|i8")
     wrapping: str = field("", "Override prompt wrapping: pt|it|vlm|pali")
 
 

@@ -99,6 +99,17 @@ def embed_tokens(
         g = inv.shape[-1]
         shaped = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
         rows = (inv[..., None] * (shaped - zp[..., None])).reshape(codes.shape)
+    elif embedding.kind == "i4":
+        from gemma_tpu.ops.matmul import _unpack_nuq4
+
+        codes = _unpack_nuq4(embedding.arrays["codes"][tokens]).astype(
+            jnp.float32)
+        sc = embedding.arrays["scales"][tokens]
+        mn = embedding.arrays["mins"][tokens]
+        g = sc.shape[-1]
+        shaped = codes.reshape(*codes.shape[:-1], g, codes.shape[-1] // g)
+        rows = (sc[..., None] * shaped + mn[..., None]).reshape(
+            codes.shape)[..., :model_dim]
     elif embedding.kind == "nuq4":
         from gemma_tpu.compression.sfp import decode_jax
         from gemma_tpu.ops.matmul import _unpack_nuq4
@@ -394,11 +405,24 @@ def load_params(store, kind_override: str | None = None) -> Params:
 
         att_w = qt("att_w" + s)
         if att_w is None:
-            # nuq4's per-256 groups do not survive the permutation when
-            # qkv_dim < 256; the byte layout is always exact.
-            ein_kind = "nuq" if kind_override == "nuq4" else kind_override
-            att_ein = qt("att_ein" + s, kind=ein_kind)
-            att_w = _fixup_att_weights(att_ein, heads, config.model_dim, qkv_dim)
+            if kind_override == "i4":
+                # i4 is a load-time transcode anyway, so Fixup the f32
+                # values on the host and encode the PERMUTED matrix —
+                # groups land on the final layout for every qkv_dim
+                # (InitAttWeights, weights.cc:46-87).
+                from gemma_tpu.ops.matmul import quant_tensor_i4
+
+                pt = store.read_tensor("att_ein" + s)
+                vals = (pt.to_f32().reshape(heads, config.model_dim, qkv_dim)
+                        .swapaxes(0, 1).reshape(config.model_dim, -1))
+                att_w = quant_tensor_i4(np.ascontiguousarray(vals))
+            else:
+                # nuq4's per-256 groups do not survive the permutation when
+                # qkv_dim < 256; the byte layout is always exact.
+                ein_kind = "nuq" if kind_override == "nuq4" else kind_override
+                att_ein = qt("att_ein" + s, kind=ein_kind)
+                att_w = _fixup_att_weights(att_ein, heads, config.model_dim,
+                                           qkv_dim)
 
         layers.append(
             LayerParams(

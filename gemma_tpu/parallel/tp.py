@@ -56,12 +56,13 @@ def _qt_spec(qt: QuantTensor, dim: int | None) -> QuantTensor:
             arrays[k] = P("model", *([None] * (a.ndim - 1)))
         else:
             arrays[k] = P(None, "model", *([None] * (a.ndim - 2)))
-    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays)
+    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays, qt.flags)
 
 
 def _check_col_shard(qt: QuantTensor, tp: int, what: str) -> None:
     k_local = qt.k // tp
-    group = {"nuq4": 256, "i8": 128}.get(qt.kind)
+    # i4 shards must also cover whole 256-wide nibble packing blocks.
+    group = {"nuq4": 256, "i4": 256, "i8": 128}.get(qt.kind)
     assert qt.k % tp == 0, f"{what}: K={qt.k} not divisible by tp={tp}"
     if group:
         assert k_local % group == 0, (
@@ -141,7 +142,10 @@ def _pad_tables_for_col_shard(qt: QuantTensor, tp: int) -> QuantTensor:
             tables[:, i * gl * 16 : (i + 1) * gl * 16]
     arrays = dict(qt.arrays)
     arrays["tables"] = jnp.asarray(out)
-    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays)
+    # The flag makes host-side dequantize() raise instead of silently
+    # gathering into the wrong lane windows (advisor round-2 low).
+    return QuantTensor(qt.kind, qt.shape, qt.scale, arrays,
+                       qt.flags + ("sharded_tables",))
 
 
 def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
@@ -188,7 +192,7 @@ def _localize(qt: QuantTensor) -> QuantTensor:
     """
     key = "w" if "w" in qt.arrays else "codes"
     n, k = qt.arrays[key].shape
-    if qt.kind == "nuq4":
+    if qt.kind in ("nuq4", "i4"):
         # codes are nibble-packed [N, Kp/2]; recover the local LOGICAL K
         # from the global aux: k_local = K * (local packed width) /
         # (global packed width).  Exact for both row shards (width
@@ -196,7 +200,8 @@ def _localize(qt: QuantTensor) -> QuantTensor:
         from gemma_tpu.utils.basics import round_up
 
         k = qt.k * (2 * k) // round_up(qt.k, 256)
-    return QuantTensor(qt.kind, (int(n), int(k)), qt.scale, qt.arrays)
+    return QuantTensor(qt.kind, (int(n), int(k)), qt.scale, qt.arrays,
+                       qt.flags)
 
 
 def _localize_params(params: Params) -> Params:
@@ -220,7 +225,7 @@ def _localize_params(params: Params) -> Params:
 def _slice_qt(qt: QuantTensor, lo: int, hi: int) -> QuantTensor:
     """Row-slice a QuantTensor along N (every codec's arrays lead with N)."""
     arrays = {k: a[lo:hi] for k, a in qt.arrays.items()}
-    return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays)
+    return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays, qt.flags)
 
 
 def _matmul_psum(x, w: QuantTensor, chunks: int, collectives: bool):

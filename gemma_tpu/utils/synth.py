@@ -56,6 +56,14 @@ def synth_quant(
             "codes": mk((n, g * 128), np.uint8),  # 2 codes/byte
             "tables": mk((n, tl), np.uint8, hi=128),
         }
+    elif kind == "i4":
+        # Nibble-packed codes + per-128-group affine (ops/matmul.py).
+        blocks = -(-k // 256)
+        arrays = {
+            "codes": mk((n, blocks * 128), np.uint8),  # 2 codes/byte
+            "scales": jnp.abs(mk((n, blocks * 2), np.float32)) + 0.01,
+            "mins": mk((n, blocks * 2), np.float32),
+        }
     elif kind == "i8":
         g = k // 128
         arrays = {

@@ -22,7 +22,8 @@ DEFAULT_SHAPES = [  # Gemma2-2B decode/prefill shapes (vocab 256000)
     (256, 2304, 9216), (256, 9216, 2304),
 ]
 
-BYTES = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625, "i8": 1}
+BYTES = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625,
+         "i4": 0.5625, "i8": 1}
 
 
 def main() -> None:
@@ -47,7 +48,7 @@ def main() -> None:
           f"{'time':>10} {'GFLOP/s':>9} {'GB/s-eff':>9}")
     for kind in args.kinds.split(","):
         for m, k, n in shapes:
-            if kind == "nuq4" and k % 256:
+            if kind in ("nuq4", "i4") and k % 256:
                 continue
             a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
                             ).astype(jnp.bfloat16)

@@ -54,24 +54,30 @@ def main() -> None:
     m, k, n = 16, 2304, 1024
     a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    for kind in ("bf16", "sfp", "nuq", "nuq4", "i8"):
+    for kind in ("bf16", "sfp", "nuq", "nuq4", "i4", "i8"):
         w = synth_quant(rng, n, k, kind)
         got = matmul(a, w)
         want = matmul(a, w, use_pallas=False)
-        tol = 5e-2 if kind == "i8" else 2e-2
+        tol = 5e-2 if kind in ("i4", "i8") else 2e-2
         ok &= check(f"matmul[{kind}] vs dense fallback", got, want,
                     rtol=tol, atol_scale=tol)
 
-    w1 = synth_quant(rng, n, k, "sfp")
-    w2 = synth_quant(rng, n, k, "sfp")
-    got = gated_ffn(a, w1, w2, out_dtype=jnp.float32)
-    want = gelu(matmul(a, w1)) * matmul(a, w2)
-    ok &= check("gated_ffn fused vs composed", got, want, 1e-2, 1e-2)
+    for gk in ("sfp", "i4"):
+        w1 = synth_quant(rng, n, k, gk)
+        w2 = synth_quant(rng, n, k, gk)
+        got = gated_ffn(a, w1, w2, out_dtype=jnp.float32)
+        want = gelu(matmul(a, w1)) * matmul(a, w2)
+        ok &= check(f"gated_ffn[{gk}] fused vs composed", got, want,
+                    1e-2, 1e-2)
 
     # --- attention (D=256 is lane-aligned: native kernels engage) ---
+    # SEQ=512: the i8 pool's s_alloc is 544 (ring+1 padded to the 32-row
+    # sublane tile), so the flash kernel's trailing 512-wide S block reads
+    # out-of-bounds VMEM — exactly the masked-garbage path the V and
+    # scale-row guards must neutralize under native lowering.
     config = config_gemma2_2b()
     B, SEQ, KVH, H, D = 4, 512, 4, 8, 256
-    for kind in ("bf16", "i8"):
+    for kind in ("bf16", "f32", "i8"):
         cache = KVCache.create(config, B, SEQ, kind=kind)
         kk = jnp.asarray(rng.normal(0, 0.5, (B, 200, KVH, D)).astype(np.float32))
         vv = jnp.asarray(rng.normal(0, 0.5, (B, 200, KVH, D)).astype(np.float32))

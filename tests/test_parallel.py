@@ -199,3 +199,19 @@ def test_nuq4_col_shard_table_alignment():
         assert local.k == kl
         got = np.asarray(local.dequantize())
         np.testing.assert_array_equal(got, dense[:, i * kl : (i + 1) * kl])
+
+
+def test_sharded_tables_dequantize_raises():
+    """The re-laid (per-shard) nuq4 table layout is kernel-only; host
+    dequantize() must refuse instead of decoding garbage (advisor r2)."""
+    import pytest as pt
+
+    from gemma_tpu.parallel.tp import _pad_tables_for_col_shard
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(33)
+    qt = synth_quant(rng, 8, 5120, "nuq4")
+    padded = _pad_tables_for_col_shard(qt, 2)
+    assert "sharded_tables" in padded.flags
+    with pt.raises(ValueError, match="column shard"):
+        padded.dequantize()

@@ -41,7 +41,15 @@ PROMPTS = [
 def generate_transcripts():
     config = gemma2_shaped_config()
     rng = np.random.default_rng(42)
-    params = to_params(random_weights(config, rng), config)
+    w = random_weights(config, rng)
+    # Shrink the (tied) embedding so the initial token row does not
+    # dominate the residual stream: at sigma 1.0 the greedy transcript is
+    # an argmax fixed point (last prompt token repeated forever), which a
+    # golden cannot distinguish from large numeric drift (advisor r2).
+    # At 0.02 the 26 layers of mixing decide the argmax and every token
+    # depends on the whole forward pass.
+    w["embedding"] = w["embedding"] * 0.02
+    params = to_params(w, config)
     config.eos_id = -1  # random model: no accidental EOS retirement
     config.secondary_eos_id = -1
     engine = GemmaEngine(params, config,
@@ -49,14 +57,34 @@ def generate_transcripts():
                                        decode_chunk=4))
     outs = engine.generate_batch([list(p) for p in PROMPTS],
                                  max_generated_tokens=12)
-    return [[int(t) for t in o] for o in outs]
+    outs = [[int(t) for t in o] for o in outs]
+    # Margins: per prompt, the top1-top2 logit gap of the FIRST decode
+    # step — a fine-grained numeric pin alongside the argmax transcript.
+    import jax.numpy as jnp
+
+    from gemma_tpu.models.gemma import forward
+
+    margins = []
+    for p in PROMPTS:
+        cache = engine.new_cache(1)
+        toks = jnp.asarray([p], jnp.int32)
+        poss = jnp.arange(len(p), dtype=jnp.int32)[None, :]
+        logits, _ = forward(params, toks, poss, cache, config,
+                            return_logits="last")
+        top2 = np.sort(np.asarray(logits[0], np.float32))[-2:]
+        margins.append(float(top2[1] - top2[0]))
+    return outs, margins
 
 
 def test_synth_golden_transcripts():
     if os.environ.get("GEMMA_REGEN_GOLDENS"):
+        outs, margins = generate_transcripts()
+        # Degenerate (repetitive) transcripts would gut the test's power;
+        # refuse to pin them.
+        assert all(len(set(o)) >= 4 for o in outs), outs
         GOLDEN_PATH.parent.mkdir(parents=True, exist_ok=True)
         GOLDEN_PATH.write_text(json.dumps(
-            {"prompts": PROMPTS, "outputs": generate_transcripts()},
+            {"prompts": PROMPTS, "outputs": outs, "margins": margins},
             indent=1))
         pytest.skip(f"regenerated {GOLDEN_PATH}")
     if not GOLDEN_PATH.exists():
@@ -64,8 +92,12 @@ def test_synth_golden_transcripts():
     golden = json.loads(GOLDEN_PATH.read_text())
     assert golden["prompts"] == PROMPTS, (
         "prompt set changed; regenerate the goldens")
-    got = generate_transcripts()
+    got, margins = generate_transcripts()
     assert got == golden["outputs"], (
         "greedy transcripts drifted from the pinned goldens — a numeric "
         "change reached the forward pass; if intentional, regenerate with "
         "GEMMA_REGEN_GOLDENS=1 and explain in the commit")
+    # Accumulation-order changes move logits at ~1e-5 relative; kernel
+    # bugs move them grossly.  5e-3 absolute on an O(1)-margin catches
+    # the latter without flagging legitimate block-shape changes.
+    np.testing.assert_allclose(margins, golden["margins"], atol=5e-3)

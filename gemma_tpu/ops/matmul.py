@@ -421,51 +421,96 @@ def _acc_step(kind: str, gk: int, a_ref, b_refs, acc_ref) -> None:
         raise ValueError(kind)
 
 
-def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int, *refs):
+def _norm_a(a_ref, norm_ref, k_logical: int) -> jnp.ndarray:
+    """In-kernel RMSNorm of the A tile (ops/ops.py:rms_norm semantics,
+    bit-identical: f32 mean over the LOGICAL K — zero padding contributes
+    nothing to the sum — then (1+w) scaling, rounded to bf16 for the MXU
+    exactly like the composed rms_norm(x).astype(bf16) path)."""
+    a = a_ref[...].astype(jnp.float32)
+    mul = jax.lax.rsqrt(
+        jnp.sum(a * a, axis=-1, keepdims=True) / jnp.float32(k_logical)
+        + 1e-6)
+    m = a * mul
+    w = norm_ref[...].astype(jnp.float32)  # [1, bk]
+    return (m + m * w).astype(jnp.bfloat16)
+
+
+def _mm_kernel(kind: str, n_k_steps: int, scale: float, out_dtype, gk: int,
+               k_logical: int, n_logical: int, has_norm: bool,
+               has_post: bool, has_add: bool, *refs):
     """Grid (M/bm, N/bn, K/bk); accumulate f32 in scratch, emit at last K.
 
     Group metadata (NUQ tables, I8 scales) is blocked per N tile because
     Mosaic requires the last two block dims to be tile-aligned.
+    has_norm fuses an RMSNorm over A's rows as a prologue (single-K-step
+    grids only); has_post fuses a post-RMSNorm over the OUTPUT rows
+    (single-N-step grids only — padded output columns are exactly 0, so
+    the mean over the logical N is exact); has_add fuses a same-shape
+    residual add.  Order matches the reference layer (gemma.cc:83-116):
+    out = add + postnorm(scale * A.B^T).
     """
     k_step = pl.program_id(2)
     nb = _n_b_refs(kind)
+    i = 1
     a_ref = refs[0]
-    b_refs = refs[1 : 1 + nb]
-    out_ref, acc_ref = refs[1 + nb :]
+    norm_ref = refs[i] if has_norm else None
+    i += has_norm
+    b_refs = refs[i : i + nb]
+    i += nb
+    post_ref = refs[i] if has_post else None
+    i += has_post
+    add_ref = refs[i] if has_add else None
+    i += has_add
+    out_ref, acc_ref = refs[i:]
 
     @pl.when(k_step == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _acc_step(kind, gk, a_ref, b_refs, acc_ref)
+    a = _norm_a(a_ref, norm_ref, k_logical) if has_norm else a_ref
+    _acc_step(kind, gk, a, b_refs, acc_ref)
 
     @pl.when(k_step == n_k_steps - 1)
     def _():
         acc = acc_ref[...]
         if scale != 1.0:
             acc = acc * jnp.float32(scale)
+        if has_post:
+            mul = jax.lax.rsqrt(
+                jnp.sum(acc * acc, axis=-1, keepdims=True)
+                / jnp.float32(n_logical) + 1e-6)
+            m = acc * mul
+            pw = post_ref[...].astype(jnp.float32)  # [1, bn]
+            acc = m + m * pw
+        if has_add:
+            acc = acc + add_ref[...].astype(jnp.float32)
         out_ref[...] = acc.astype(out_dtype)
 
 
 def _gated_kernel(kind: str, n_k_steps: int, scale1: float, scale2: float,
-                  out_dtype, gk: int, *refs):
+                  out_dtype, gk: int, k_logical: int, has_norm: bool,
+                  *refs):
     """Fused TwoMatMul epilogue (matmul-inl.h:1114-1175): two GEMMs over a
     shared A with gelu(C1) * C2 applied at the last K step, so C1/C2 never
     round-trip HBM (VERDICT r1 missing #2)."""
     k_step = pl.program_id(2)
     nb = _n_b_refs(kind)
+    i = 1
     a_ref = refs[0]
-    b1_refs = refs[1 : 1 + nb]
-    b2_refs = refs[1 + nb : 1 + 2 * nb]
-    out_ref, acc1, acc2 = refs[1 + 2 * nb :]
+    norm_ref = refs[i] if has_norm else None
+    i += has_norm
+    b1_refs = refs[i : i + nb]
+    b2_refs = refs[i + nb : i + 2 * nb]
+    out_ref, acc1, acc2 = refs[i + 2 * nb :]
 
     @pl.when(k_step == 0)
     def _():
         acc1[...] = jnp.zeros_like(acc1)
         acc2[...] = jnp.zeros_like(acc2)
 
-    _acc_step(kind, gk, a_ref, b1_refs, acc1)
-    _acc_step(kind, gk, a_ref, b2_refs, acc2)
+    a_val = _norm_a(a_ref, norm_ref, k_logical) if has_norm else a_ref
+    _acc_step(kind, gk, a_val, b1_refs, acc1)
+    _acc_step(kind, gk, a_val, b2_refs, acc2)
 
     @pl.when(k_step == n_k_steps - 1)
     def _():
@@ -592,6 +637,9 @@ def _matmul_pallas(
     block_k: int,
     out_dtype,
     interpret: bool,
+    norm_w: jnp.ndarray | None = None,
+    post_w: jnp.ndarray | None = None,
+    add2d: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     m, k_dim = a.shape
     n, k2 = shape
@@ -605,12 +653,31 @@ def _matmul_pallas(
 
     a_pad = _pad2(a, mp, kp)
     grid = (mp // bm, np_ // bn, kp // bk)
+    has_norm = norm_w is not None
+    assert not (has_norm and grid[2] > 1), \
+        "prologue norm needs a single-K-step grid (caller guards)"
+    has_post = post_w is not None
+    assert not (has_post and grid[1] > 1), \
+        "post norm needs a single-N-step grid (caller guards)"
 
     b_in, b_specs, gk = _b_inputs(kind, arrays, np_, kp, bn, bk)
-    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))] + b_specs
-    inputs = [a_pad] + b_in
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    inputs: list = [a_pad]
+    if has_norm:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
+    in_specs += b_specs
+    inputs += b_in
+    if has_post:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)))
+        inputs.append(_pad2(post_w.reshape(1, -1), 1, np_))
+    has_add = add2d is not None
+    if has_add:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)))
+        inputs.append(_pad2(add2d, mp, np_))
 
-    kernel = functools.partial(_mm_kernel, kind, grid[2], scale, out_dtype, gk)
+    kernel = functools.partial(_mm_kernel, kind, grid[2], scale, out_dtype,
+                               gk, k_dim, n, has_norm, has_post, has_add)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -649,6 +716,7 @@ def _gated_pallas(
     block_k: int,
     out_dtype,
     interpret: bool,
+    norm_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """gelu(A @ W1^T) * (A @ W2^T) in one kernel (two accumulators)."""
     m, k_dim = a.shape
@@ -663,15 +731,21 @@ def _gated_pallas(
 
     a_pad = _pad2(a, mp, kp)
     grid = (mp // bm, np_ // bn, kp // bk)
+    has_norm = norm_w is not None
+    assert not (has_norm and grid[2] > 1)
 
     b1_in, b1_specs, gk = _b_inputs(kind, arrays1, np_, kp, bn, bk)
     b2_in, b2_specs, _ = _b_inputs(kind, arrays2, np_, kp, bn, bk)
-    in_specs = ([pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
-                + b1_specs + b2_specs)
-    inputs = [a_pad] + b1_in + b2_in
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    inputs: list = [a_pad]
+    if has_norm:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
+    in_specs += b1_specs + b2_specs
+    inputs += b1_in + b2_in
 
     kernel = functools.partial(_gated_kernel, kind, grid[2], scale1, scale2,
-                               out_dtype, gk)
+                               out_dtype, gk, k_dim, has_norm)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -701,8 +775,21 @@ def matmul(
     blocks: tuple[int, int, int] | None = None,
     interpret: bool | None = None,
     use_pallas: bool | None = None,
+    prologue_norm: jnp.ndarray | None = None,
+    epilogue_norm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """C = scale * A @ W^T (+ add); the `CallMatMul` analog (ops-inl.h:64-71)."""
+    """C = scale * A @ W^T (+ add); the `CallMatMul` analog (ops-inl.h:64-71).
+
+    prologue_norm: RMSNorm weight vector [K] — normalizes A's rows inside
+    the kernel (bit-identical to rms_norm(a).astype(bf16) then matmul) so
+    the normed activation never round-trips HBM.  Engaged when the tile
+    covers all of K in one step; otherwise composes outside.
+    epilogue_norm: post-RMSNorm weight vector [N] applied to the OUTPUT
+    rows in-kernel (the Gemma2 post_norm, gemma.cc:83-116); forces a
+    single-N-step grid (bn = N, bk shrunk to fit VMEM).
+    add: [N] bias (XLA epilogue) or [M, N] residual (fused in-kernel,
+    AFTER epilogue_norm — out = add + postnorm(scale * A.B^T)).
+    """
     if interpret is None:
         interpret = _interpret_default()
     if use_pallas is None:
@@ -713,16 +800,55 @@ def matmul(
 
         blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
 
+    post_w = None
+    if epilogue_norm is not None and use_pallas:
+        # Force one N step; shrink bk until the widened B block fits.
+        bm, _, bk = blocks
+        bn = round_up(w.n, 128)
+        b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
+                   "i4": 0.5, "i8": 1}[w.kind]
+        k_align = 256 if w.kind in ("nuq4", "i4") else 128
+        bk = _legalize_bk(w.kind, min(bk, round_up(w.k, k_align)), w.k)
+        while bk > k_align and (
+                2 * (bm * bk * 4 + bn * bk * b_bytes) + bn * bk * 2
+                + 2 * bm * bn * 4) > 10 * 1024 * 1024:
+            bk = max(k_align, (bk // 2) // k_align * k_align)
+        blocks = (bm, bn, bk)
+        post_w = epilogue_norm
+    elif epilogue_norm is not None:
+        pass  # applied via XLA below
+
+    norm_w = None
+    if prologue_norm is not None and use_pallas:
+        bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)), w.k)
+        if bk >= round_up(w.k, 128):  # single K step: fuse
+            norm_w = prologue_norm
+    if prologue_norm is not None and norm_w is None:
+        from gemma_tpu.ops.ops import rms_norm
+
+        a = rms_norm(a, prologue_norm).astype(jnp.bfloat16)
+
+    add2d = None
+    if add is not None and add.ndim == 2 and use_pallas \
+            and add.shape == (a.shape[0], w.n):
+        add2d = add
+        add = None
+
     if use_pallas:
         out = _matmul_pallas(
             a, w.arrays, w.kind, w.shape, float(w.scale), *blocks,
-            out_dtype=out_dtype, interpret=interpret,
+            out_dtype=out_dtype, interpret=interpret, norm_w=norm_w,
+            post_w=post_w, add2d=add2d,
         )
     else:
         dense = w.dequantize(jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32)
         out = jax.lax.dot_general(
             a, dense, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(out_dtype)
+        if epilogue_norm is not None:
+            from gemma_tpu.ops.ops import rms_norm
+
+            out = rms_norm(out, epilogue_norm)
     if add is not None:
         out = (out.astype(jnp.float32) + add.astype(jnp.float32)).astype(out_dtype)
     return out
@@ -737,7 +863,7 @@ def _sds(a) -> jax.ShapeDtypeStruct:
 
 
 def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
-                         blocks, out_dtype) -> bool:
+                         blocks, out_dtype, norm_w=None) -> bool:
     """One-time AOT compile probe for the fused gated kernel.
 
     The try/except around the in-jit call cannot catch a Mosaic VMEM
@@ -749,7 +875,8 @@ def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
     two-matmul path forever.  Runs once per key (probing is legal during
     an outer trace: .lower() opens a fresh trace, like jax.eval_shape).
     """
-    key = (w1.kind, w1.shape, x.shape, str(x.dtype), blocks, str(out_dtype))
+    key = (w1.kind, w1.shape, x.shape, str(x.dtype), blocks, str(out_dtype),
+           norm_w is not None)
     hit = _GATED_PROBED.get(key)
     if hit is not None:
         return hit
@@ -759,6 +886,7 @@ def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
             {k: _sds(v) for k, v in w2.arrays.items()},
             w1.kind, w1.shape, float(w1.scale), float(w2.scale), *blocks,
             out_dtype=out_dtype, interpret=False,
+            norm_w=None if norm_w is None else _sds(norm_w),
         ).compile()
         ok = True
     except Exception:  # noqa: BLE001 — any compile failure means fallback
@@ -776,6 +904,7 @@ def gated_ffn(
     blocks: tuple[int, int, int] | None = None,
     interpret: bool | None = None,
     use_pallas: bool | None = None,
+    prologue_norm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """TwoMatMul analog: gelu(x @ W1^T) * (x @ W2^T) (matmul-inl.h:1114-1175).
 
@@ -813,7 +942,10 @@ def gated_ffn(
         while bn > 128 and est_vmem(bn) > 10 * 1024 * 1024:
             bn = (bn // 2 + 127) // 128 * 128
         blocks = (bm, max(bn, 128), bk)
-        key = (w1.kind, w1.shape, blocks)
+        norm_w = None
+        if prologue_norm is not None and bkl >= round_up(w1.k, 128):
+            norm_w = prologue_norm  # single K step: fuse the pre-FFW norm
+        key = (w1.kind, w1.shape, blocks, norm_w is not None)
         if key not in _GATED_UNSUPPORTED:
             # The in-jit try/except below cannot catch a Mosaic VMEM
             # error (it surfaces at the ENCLOSING jit's compile), so on
@@ -822,14 +954,15 @@ def gated_ffn(
             # caller's program.
             if (not interpret
                     and not _probe_gated_compile(x, w1, w2, blocks,
-                                                 out_dtype)):
+                                                 out_dtype, norm_w)):
                 _GATED_UNSUPPORTED.add(key)
         if key not in _GATED_UNSUPPORTED:
             try:
                 return _gated_pallas(
                     x, w1.arrays, w2.arrays, w1.kind, w1.shape,
                     float(w1.scale), float(w2.scale), *blocks,
-                    out_dtype=out_dtype, interpret=interpret)
+                    out_dtype=out_dtype, interpret=interpret,
+                    norm_w=norm_w)
             except Exception:  # noqa: BLE001 — blocks tuned for the plain
                 # kernel can bust VMEM/tiling with doubled B inputs; fall
                 # back to two matmuls and remember.
@@ -837,6 +970,10 @@ def gated_ffn(
 
     from gemma_tpu.ops.ops import gelu as gelu_op
 
+    if prologue_norm is not None:
+        from gemma_tpu.ops.ops import rms_norm
+
+        x = rms_norm(x, prologue_norm).astype(jnp.bfloat16)
     c1 = matmul(x, w1, out_dtype=jnp.float32, interpret=interpret,
                 use_pallas=use_pallas)
     c2 = matmul(x, w2, out_dtype=jnp.float32, interpret=interpret,

@@ -174,6 +174,80 @@ def test_gated_ffn_fused_matches_fallback(kind):
                                atol=5e-3 * np.abs(dense).max())
 
 
+@pytest.mark.parametrize("kind", ["bf16", "sfp", "i4", "i8"])
+def test_prologue_norm_and_fused_add_bit_identical(kind):
+    """matmul(prologue_norm=w, add=resid[M,N]) must be BIT-identical to
+    rms_norm(x).astype(bf16) -> matmul -> + resid (the decode hot path's
+    elementwise stages folded into the GEMM kernel)."""
+    from gemma_tpu.ops.ops import rms_norm
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(17)
+    m, k, n = 8, 512, 256
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
+    w = synth_quant(rng, n, k, kind)
+    blocks = (8, 128, 512)  # full-K: the prologue engages
+
+    got = np.asarray(matmul(x, w, blocks=blocks, prologue_norm=nw,
+                            add=resid))
+    xb = rms_norm(x, nw).astype(jnp.bfloat16)
+    want = np.asarray(matmul(xb, w, blocks=blocks)) + np.asarray(resid)
+    np.testing.assert_array_equal(got, want)
+
+    # K-blocked grids compose outside the kernel — still identical.
+    got2 = np.asarray(matmul(x, w, blocks=(8, 128, 256), prologue_norm=nw,
+                             add=resid))
+    want2 = np.asarray(matmul(xb, w, blocks=(8, 128, 256))) \
+        + np.asarray(resid)
+    np.testing.assert_array_equal(got2, want2)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "i4", "i8"])
+def test_epilogue_postnorm_add_bit_identical(kind):
+    """matmul(epilogue_norm=pw, add=resid) == resid + rms_norm(matmul)
+    to ~1 ulp — the Gemma2 post_norm + residual folded into the GEMM
+    (K-blocked grids included: the norm runs at the last K step; the
+    rsqrt/fma contraction can differ by one ulp between compilation
+    contexts)."""
+    from gemma_tpu.ops.ops import rms_norm
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(19)
+    m, k, n = 8, 1024, 384
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    pw = jnp.asarray(rng.normal(0, 0.1, (n,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
+    w = synth_quant(rng, n, k, kind)
+    for blocks in ((8, 128, 256), (8, 128, 1024)):  # K-blocked + full-K
+        got = np.asarray(matmul(x, w, blocks=blocks, epilogue_norm=pw,
+                                add=resid))
+        base = matmul(x, w, blocks=(blocks[0], 384, blocks[2]))
+        want = np.asarray(resid + rms_norm(base, pw))
+        np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-6)
+
+
+def test_gated_ffn_prologue_norm_bit_identical():
+    from gemma_tpu.ops.ops import rms_norm
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(18)
+    m, k, n = 8, 512, 384
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
+    w1 = synth_quant(rng, n, k, "sfp")
+    w2 = synth_quant(rng, n, k, "sfp")
+    blocks = (8, 128, 512)
+    got = np.asarray(gated_ffn(x, w1, w2, blocks=blocks,
+                               prologue_norm=nw, out_dtype=jnp.float32))
+    xb = rms_norm(x, nw).astype(jnp.bfloat16)
+    want = np.asarray(gated_ffn(xb, w1, w2, blocks=blocks,
+                                out_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_i4_device_layout_bit_exact():
     """QuantTensor.dequantize must EXACTLY match the host affine decode
     (the codec-layout contract every other kind also holds)."""

@@ -207,6 +207,15 @@ class GemmaEngine:
             def run(params, prev, pos, cache, seed, *mask):
                 def body(carry, _):
                     prev, pos, cache = carry
+                    if top_k == 1 and not mask:
+                        # Greedy, unconstrained: fused logits head (the
+                        # [B, vocab] logits never materialize).
+                        (tok, prob), cache = forward(
+                            params, prev[:, None], pos[:, None], cache,
+                            config, return_logits="top1",
+                        )
+                        tok = tok.astype(jnp.int32)
+                        return (tok, pos + 1, cache), (tok, prob)
                     logits, cache = forward(
                         params, prev[:, None], pos[:, None], cache, config,
                         return_logits="last",
@@ -630,11 +639,11 @@ class GemmaEngine:
             def run(params, prev, pos, cache):
                 def body(carry, _):
                     prev, pos, cache = carry
-                    logits, cache = forward(
+                    (tok, _), cache = forward(
                         params, prev[:, None], pos[:, None], cache, config,
-                        return_logits="last",
+                        return_logits="top1",
                     )
-                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    tok = tok.astype(jnp.int32)
                     return (tok, pos + 1, cache), tok
 
                 (_, _, cache), tokens = jax.lax.scan(

@@ -35,7 +35,7 @@ from gemma_tpu.models.configs import (
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
 from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
-from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul
+from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul, matmul_top1
 
 
 def _register(cls):
@@ -308,6 +308,15 @@ def forward(
 
     if return_logits == "none":
         return None, cache
+    if return_logits == "top1":
+        # Greedy head: argmax + its softmax prob fused into the logits
+        # GEMM (final norm as prologue, softcap + online top1 in-kernel;
+        # the [B, vocab] logits never reach HBM).  Top1OfSoftmax,
+        # ops-inl.h:1228-1257.
+        tok, prob = matmul_top1(
+            x[:, -1, :], params.embedding, final_cap=config.final_cap,
+            prologue_norm=params.final_norm)
+        return (tok, prob), cache
     if return_logits == "last":
         # One row per query: fold the final RMSNorm into the logits GEMM
         # prologue (bit-identical; saves the normed-x HBM round trip).

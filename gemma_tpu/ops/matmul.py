@@ -858,6 +858,209 @@ _GATED_UNSUPPORTED: set = set()
 _GATED_PROBED: dict = {}
 
 
+def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
+                 cap: float, gk: int, k_logical: int, n_logical: int,
+                 bn: int, has_norm: bool, *refs):
+    """Greedy logits head: argmax + its softmax prob of
+    softcap(scale * A.B^T) WITHOUT materializing the [M, N] logits.
+
+    Online-softmax over N blocks (running max m, rescaled sum-exp s) plus
+    running argmax; the winner's numerator is exp(m - m) = 1 exactly, so
+    prob = 1/s (Top1OfSoftmax semantics, ops-inl.h:1228-1257).  softcap
+    runs in-kernel on each block (monotonic, so the argmax equals the
+    raw argmax; the capped values feed the prob).  Saves the logits
+    write + softcap + argmax HBM round trips (~3 kernels and ~3x[M,N]x4
+    bytes per decode step at vocab=256K).
+    """
+    j, k_step = pl.program_id(1), pl.program_id(2)
+    nb = _n_b_refs(kind)
+    i = 1
+    a_ref = refs[0]
+    norm_ref = refs[i] if has_norm else None
+    i += has_norm
+    b_refs = refs[i : i + nb]
+    tok_ref, prob_ref, max_ref, acc_ref, m_ref, s_ref, bi_ref = \
+        refs[i + nb :]
+
+    @pl.when(jnp.logical_and(j == 0, k_step == 0))
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        bi_ref[...] = jnp.zeros_like(bi_ref)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a = _norm_a(a_ref, norm_ref, k_logical) if has_norm else a_ref
+    _acc_step(kind, gk, a, b_refs, acc_ref)
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        block = acc_ref[...]
+        if scale != 1.0:
+            block = block * jnp.float32(scale)
+        if cap:
+            block = jnp.float32(cap) * jnp.tanh(block / jnp.float32(cap))
+        col = j * bn + jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+        block = jnp.where(col < n_logical, block, -jnp.inf)
+        bmax = jnp.max(block, axis=-1, keepdims=True)
+        # First-occurrence tie-break inside the block (min col at the max)
+        # and across blocks (strict > keeps the earlier winner) — matches
+        # jnp.argmax over the full row.
+        bidx = jnp.min(jnp.where(block == bmax, col, jnp.int32(2**31 - 1)),
+                       axis=-1, keepdims=True)
+        m_old, s_old, bi_old = m_ref[:, :1], s_ref[:, :1], bi_ref[:, :1]
+        m_new = jnp.maximum(m_old, bmax)
+        # First block: s_old=0 and exp(-inf - finite)=0, so 0*0=0 (no NaN;
+        # every block holds >= 1 real column because N padding < bn).
+        s_new = (s_old * jnp.exp(m_old - m_new)
+                 + jnp.sum(jnp.exp(block - m_new), axis=-1, keepdims=True))
+        bi_new = jnp.where(bmax > m_old, bidx, bi_old)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        s_ref[...] = jnp.broadcast_to(s_new, s_ref.shape)
+        bi_ref[...] = jnp.broadcast_to(bi_new, bi_ref.shape)
+
+        @pl.when(j == n_j_steps - 1)
+        def _():
+            tok_ref[...] = jnp.broadcast_to(bi_new, tok_ref.shape)
+            prob_ref[...] = jnp.broadcast_to(1.0 / s_new, prob_ref.shape)
+            # The capped max — with 1/prob (= sum-exp) this is the full
+            # online-softmax state, so vocab-sharded TP shards can merge
+            # heads with O(M) collectives instead of gathering [M, vocab]
+            # logits (parallel/tp.py).
+            max_ref[...] = jnp.broadcast_to(m_new, max_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "shape", "scale", "cap", "block_m", "block_n",
+                     "block_k", "interpret"),
+)
+def _top1_pallas(
+    a: jnp.ndarray,
+    arrays: dict[str, jnp.ndarray],
+    kind: str,
+    shape: tuple[int, int],
+    scale: float,
+    cap: float,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    interpret: bool,
+    norm_w: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    m, k_dim = a.shape
+    n, k2 = shape
+    assert k_dim == k2, (a.shape, shape)
+
+    bm = min(block_m, round_up(m, 8))
+    bn = min(block_n, round_up(n, 128))
+    bk = min(block_k, round_up(k_dim, 128))
+    bk = _legalize_bk(kind, bk, k_dim)
+    mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k_dim, bk)
+
+    a_pad = _pad2(a, mp, kp)
+    grid = (mp // bm, np_ // bn, kp // bk)
+    has_norm = norm_w is not None
+    assert not (has_norm and grid[2] > 1), \
+        "prologue norm needs a single-K-step grid (caller guards)"
+
+    b_in, b_specs, gk = _b_inputs(kind, arrays, np_, kp, bn, bk)
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    inputs: list = [a_pad]
+    if has_norm:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
+    in_specs += b_specs
+    inputs += b_in
+
+    kernel = functools.partial(_top1_kernel, kind, grid[1], grid[2], scale,
+                               cap, gk, k_dim, n, bn, has_norm)
+    tok, prob, mx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        # The j/k dims carry cross-step scratch state (running max/sum/
+        # argmax; the output block is revisited), so both are arbitrary.
+        out_specs=(pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0)),
+                   pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0)),
+                   pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((mp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((mp, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + np_ * kp + mp * 128 * 12,
+            transcendentals=mp * np_,
+        ),
+    )(*inputs)
+    return tok[:m, 0], prob[:m, 0], mx[:m, 0]
+
+
+def matmul_top1(
+    a: jnp.ndarray,
+    w: QuantTensor,
+    *,
+    final_cap: float = 0.0,
+    prologue_norm: jnp.ndarray | None = None,
+    blocks: tuple[int, int, int] | None = None,
+    interpret: bool | None = None,
+    use_pallas: bool | None = None,
+    want_stats: bool = False,
+) -> tuple[jnp.ndarray, ...]:
+    """(token, prob) = Top1OfSoftmax(softcap(scale * A @ W^T)) fused into
+    the logits GEMM — the [M, vocab] logits never reach HBM
+    (ops-inl.h:1228-1257 + 1259-1308; the greedy decode hot path).
+
+    want_stats=True appends the capped row max [M] — together with
+    1/prob (the row sum-exp at that max) this is the full online-softmax
+    state, letting vocab-sharded TP merge per-shard heads with O(M)
+    collectives (parallel/tp.py) instead of all-gathering logits."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if use_pallas is None:
+        use_pallas = True
+    if blocks is None and use_pallas:
+        from gemma_tpu.ops.autotune import best_blocks
+
+        blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+
+    norm_w = None
+    if prologue_norm is not None and use_pallas:
+        bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)), w.k)
+        if bk >= round_up(w.k, 128):  # single K step: fuse
+            norm_w = prologue_norm
+    if prologue_norm is not None and norm_w is None:
+        from gemma_tpu.ops.ops import rms_norm
+
+        a = rms_norm(a, prologue_norm).astype(jnp.bfloat16)
+
+    if not use_pallas:
+        from gemma_tpu.ops.ops import soft_cap
+        from gemma_tpu.ops.sampling import top1
+
+        logits = soft_cap(final_cap, matmul(
+            a, w, out_dtype=jnp.float32, interpret=interpret,
+            use_pallas=False))
+        tok, prob = top1(logits)
+        if want_stats:
+            return tok, prob, jnp.max(logits, axis=-1)
+        return tok, prob
+    tok, prob, mx = _top1_pallas(
+        a, w.arrays, w.kind, w.shape, float(w.scale), float(final_cap),
+        *blocks, interpret=interpret, norm_w=norm_w)
+    return (tok, prob, mx) if want_stats else (tok, prob)
+
+
 def _sds(a) -> jax.ShapeDtypeStruct:
     return jax.ShapeDtypeStruct(a.shape, a.dtype)
 

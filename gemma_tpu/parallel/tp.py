@@ -435,6 +435,30 @@ def _tp_forward_local(
 
     if return_logits == "none":
         return cache
+    if return_logits == "top1":
+        # Greedy head over the vocab-row shard: each shard runs the fused
+        # argmax+online-softmax logits kernel on its local rows, then the
+        # shards merge with O(B) collectives — pmax of the capped max,
+        # rescaled psum of the sum-exp, and a first-shard-wins argmax —
+        # instead of all-gathering [B, vocab_local*tp] logits.
+        from gemma_tpu.ops.matmul import matmul_top1
+
+        tok_l, prob_l, m_l = matmul_top1(
+            x[:, -1, :], params.embedding, final_cap=config.final_cap,
+            prologue_norm=params.final_norm, want_stats=True)
+        tok_l = tok_l + midx * vocab_local
+        if not collectives:  # diagnostic mode: local head only
+            return (tok_l.astype(jnp.int32), prob_l), cache
+        m_g = jax.lax.pmax(m_l, "model")
+        s_g = jax.lax.psum((1.0 / prob_l) * jnp.exp(m_l - m_g), "model")
+        # Earliest shard holding the global max wins ties (matches the
+        # single-device first-occurrence argmax: shard order IS global
+        # index order for row-sharded vocab).
+        win = jnp.where(m_l == m_g, midx, tp)
+        win_shard = jax.lax.pmin(win, "model")
+        tok_g = jax.lax.psum(
+            jnp.where(midx == win_shard, tok_l, 0), "model")
+        return (tok_g.astype(jnp.int32), 1.0 / s_g), cache
     if return_logits == "last":
         x = x[:, -1:, :]
     x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
@@ -553,6 +577,14 @@ def build_tp_decode_chunk(
             prev, pos, cache = carry
             valid = jnp.ones((bl, 1), bool)
             pe = jnp.zeros((bl,), jnp.int32)
+            if top_k == 1 and not mask:
+                # Greedy, unconstrained: fused per-shard top1 head + O(B)
+                # merge (no [B, vocab] logits, no all_gather).
+                (tok, prob), cache = _tp_forward_local(
+                    params, prev[:, None], pos[:, None], valid, pe, cache,
+                    config=config, tp=tp, return_logits="top1")
+                tok = tok.astype(jnp.int32)
+                return (tok, pos + 1, cache), (tok, prob)
             logits, cache = _tp_forward_local(
                 params, prev[:, None], pos[:, None], valid, pe, cache,
                 config=config, tp=tp, return_logits="last")

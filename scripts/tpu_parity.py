@@ -70,6 +70,32 @@ def main() -> None:
         ok &= check(f"gated_ffn[{gk}] fused vs composed", got, want,
                     1e-2, 1e-2)
 
+    # --- fused norm prologue / post-norm+residual epilogue (decode path) ---
+    from gemma_tpu.ops.ops import rms_norm
+
+    af = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
+    pw = jnp.asarray(rng.normal(0, 0.1, (n,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
+    for kind in ("sfp", "i4", "i8"):
+        w = synth_quant(rng, n, k, kind)
+        anorm = rms_norm(af, nw).astype(jnp.bfloat16)
+        got = matmul(af, w, blocks=(16, 256, 2304), prologue_norm=nw)
+        want = matmul(anorm, w, blocks=(16, 256, 2304))
+        ok &= check(f"matmul[{kind}] fused norm prologue", got, want,
+                    1e-6, 1e-6)
+        got = matmul(anorm, w, blocks=(16, 256, 2304), epilogue_norm=pw,
+                     add=resid)
+        want = resid + rms_norm(matmul(anorm, w, blocks=(16, 256, 2304)), pw)
+        ok &= check(f"matmul[{kind}] postnorm+residual epilogue", got, want,
+                    1e-5, 1e-5)
+    w1 = synth_quant(rng, n, k, "i4")
+    w2 = synth_quant(rng, n, k, "i4")
+    got = gated_ffn(af, w1, w2, out_dtype=jnp.float32, prologue_norm=nw)
+    want = gated_ffn(rms_norm(af, nw).astype(jnp.bfloat16), w1, w2,
+                     out_dtype=jnp.float32)
+    ok &= check("gated_ffn[i4] fused norm prologue", got, want, 1e-6, 1e-6)
+
     # --- attention (D=256 is lane-aligned: native kernels engage) ---
     # SEQ=512: the i8 pool's s_alloc is 544 (ring+1 padded to the 32-row
     # sublane tile), so the flash kernel's trailing 512-wide S block reads

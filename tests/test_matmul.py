@@ -347,3 +347,69 @@ def test_transcode_sfp_stream_to_i8():
     assert err < 0.02, err
     snr = 10 * np.log10((src**2).mean() / ((got - src)**2).mean() + 1e-12)
     assert snr > 35, snr
+
+
+@pytest.mark.parametrize("kind", ["bf16", "sfp", "i8"])
+def test_matmul_top1_matches_composed(kind):
+    """Fused greedy head == soft_cap -> top1 over materialized logits:
+    tokens exact, prob to online-softmax ulps.  N is NOT a multiple of
+    block_n (the padded-column -inf guard must engage) and the logits are
+    shifted NEGATIVE (a zero-initialized padded column would win the
+    argmax if unmasked)."""
+    from gemma_tpu.ops.matmul import matmul_top1
+    from gemma_tpu.ops.ops import soft_cap
+    from gemma_tpu.ops.sampling import top1
+
+    rng = np.random.default_rng(23)
+    m, k, n = 8, 512, 1000  # np_ = 1024: 24 padded columns
+    a, w, dense = _mk(kind, m, k, n, rng)
+    a = a.astype(jnp.bfloat16)
+    for cap, blocks in ((30.0, (8, 256, 512)), (0.0, (8, 512, 256)),
+                        (30.0, (8, 1024, 512))):
+        logits = matmul(a, w, blocks=(8, 512, 512), out_dtype=jnp.float32)
+        want_tok, want_prob = top1(soft_cap(cap, logits))
+        got_tok, got_prob = matmul_top1(a, w, final_cap=cap, blocks=blocks)
+        np.testing.assert_array_equal(np.asarray(got_tok),
+                                      np.asarray(want_tok))
+        np.testing.assert_allclose(np.asarray(got_prob),
+                                   np.asarray(want_prob),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_matmul_top1_negative_logits_padding_guard():
+    """All-negative logits: the argmax must never land in a padded
+    column (those are -inf in-kernel, not 0)."""
+    from gemma_tpu.ops.matmul import matmul_top1
+
+    rng = np.random.default_rng(29)
+    m, k, n = 8, 256, 384  # np_ with bn=256 -> 512: 128 padded cols
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w_dense = -np.abs(rng.normal(2, 0.5, (n, k))).astype(np.float32)
+    w = QuantTensor("f32", (n, k), 1.0, {"w": jnp.asarray(w_dense)})
+    # Make every logit strictly negative: a strictly positive A against
+    # strictly negative W.
+    a = jnp.abs(a) + jnp.bfloat16(0.1)
+    tok, prob = matmul_top1(a, w, final_cap=30.0, blocks=(8, 256, 256))
+    assert (np.asarray(tok) < n).all()
+    assert np.isfinite(np.asarray(prob)).all()
+
+
+def test_matmul_top1_prologue_norm():
+    """Fused final-norm prologue inside the top1 head == normalizing
+    outside (tokens exact)."""
+    from gemma_tpu.ops.matmul import matmul_top1
+    from gemma_tpu.ops.ops import rms_norm
+
+    rng = np.random.default_rng(31)
+    m, k, n = 8, 512, 640
+    a, w, _ = _mk("sfp", m, k, n, rng)
+    nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
+    got_tok, got_prob = matmul_top1(a, w, final_cap=30.0, prologue_norm=nw,
+                                    blocks=(8, 256, 512))
+    ab = rms_norm(a, nw).astype(jnp.bfloat16)
+    want_tok, want_prob = matmul_top1(ab, w, final_cap=30.0,
+                                      blocks=(8, 256, 512))
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
+    np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
+                               rtol=1e-6, atol=1e-7)

@@ -86,9 +86,9 @@ def measure_decode(config, kind: str, kv_kind: str, batch: int,
     def decode_n(params, cache, first_tokens):
         def body(carry, _):
             prev, pos, cache = carry
-            logits, cache = forward(params, prev[:, None], pos[:, None],
-                                    cache, config, return_logits="last")
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            (tok, _), cache = forward(params, prev[:, None], pos[:, None],
+                                      cache, config, return_logits="top1")
+            tok = tok.astype(jnp.int32)
             return (tok, pos + 1, cache), tok
 
         pos0 = jnp.full((batch,), start_pos, jnp.int32)

@@ -96,6 +96,26 @@ def main() -> None:
                      out_dtype=jnp.float32)
     ok &= check("gated_ffn[i4] fused norm prologue", got, want, 1e-6, 1e-6)
 
+    # --- fused greedy logits head (argmax exact, prob to sum-order ulps) ---
+    from gemma_tpu.ops.matmul import matmul_top1
+    from gemma_tpu.ops.ops import soft_cap
+    from gemma_tpu.ops.sampling import top1
+
+    for kind in ("sfp", "i8"):
+        w = synth_quant(rng, 1000, k, kind)  # N padding: -inf guard active
+        got_tok, got_prob = matmul_top1(af, w, final_cap=30.0,
+                                        prologue_norm=nw,
+                                        blocks=(16, 256, 2304))
+        anorm = rms_norm(af, nw).astype(jnp.bfloat16)
+        logits = soft_cap(30.0, matmul(anorm, w, blocks=(16, 256, 2304)))
+        want_tok, want_prob = top1(logits)
+        tok_ok = bool((np.asarray(got_tok) == np.asarray(want_tok)).all())
+        print(f"{'PASS' if tok_ok else 'FAIL'}  "
+              f"{f'matmul_top1[{kind}] tokens exact':<42}")
+        ok &= tok_ok
+        ok &= check(f"matmul_top1[{kind}] prob", got_prob, want_prob,
+                    1e-4, 1e-5)
+
     # --- attention (D=256 is lane-aligned: native kernels engage) ---
     # SEQ=512: the i8 pool's s_alloc is 544 (ring+1 padded to the 32-row
     # sublane tile), so the flash kernel's trailing 512-wide S block reads

@@ -207,12 +207,14 @@ class GemmaEngine:
             def run(params, prev, pos, cache, seed, *mask):
                 def body(carry, _):
                     prev, pos, cache = carry
-                    if top_k == 1 and not mask:
-                        # Greedy, unconstrained: fused logits head (the
-                        # [B, vocab] logits never materialize).
+                    if top_k == 1:
+                        # Greedy: fused logits head (the [B, vocab] logits
+                        # never materialize); the allowed-token TokenSet
+                        # constraint rides the kernel's in-block mask.
                         (tok, prob), cache = forward(
                             params, prev[:, None], pos[:, None], cache,
                             config, return_logits="top1",
+                            top1_mask=mask[0] if mask else None,
                         )
                         tok = tok.astype(jnp.int32)
                         return (tok, pos + 1, cache), (tok, prob)

@@ -267,11 +267,14 @@ def forward(
     image_embeddings: jnp.ndarray | None = None,
     image_slot_mask: jnp.ndarray | None = None,
     valid: jnp.ndarray | None = None,
+    top1_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray | None, KVCache]:
     """Run the full stack over a [B, T] token step.
 
     return_logits: "all" -> [B, T, vocab]; "last" -> [B, vocab] for the final
-    token; "none" -> (None, cache) (prefill).
+    token; "top1" -> ((token [B], prob [B]), cache) greedy head fused into
+    the logits GEMM (optionally constrained by top1_mask [vocab], the
+    allowed-token TokenSet); "none" -> (None, cache) (prefill).
     image_embeddings/image_slot_mask splice precomputed image token rows into
     the embedding stream (gemma.cc:144-157, PaliGemma/VLM prefill).
     """
@@ -315,7 +318,7 @@ def forward(
         # ops-inl.h:1228-1257.
         tok, prob = matmul_top1(
             x[:, -1, :], params.embedding, final_cap=config.final_cap,
-            prologue_norm=params.final_norm)
+            prologue_norm=params.final_norm, allowed_mask=top1_mask)
         return (tok, prob), cache
     if return_logits == "last":
         # One row per query: fold the final RMSNorm into the logits GEMM

@@ -860,7 +860,7 @@ _GATED_PROBED: dict = {}
 
 def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
                  cap: float, gk: int, k_logical: int, n_logical: int,
-                 bn: int, has_norm: bool, *refs):
+                 bn: int, has_norm: bool, has_mask: bool, *refs):
     """Greedy logits head: argmax + its softmax prob of
     softcap(scale * A.B^T) WITHOUT materializing the [M, N] logits.
 
@@ -879,8 +879,10 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
     norm_ref = refs[i] if has_norm else None
     i += has_norm
     b_refs = refs[i : i + nb]
-    tok_ref, prob_ref, max_ref, acc_ref, m_ref, s_ref, bi_ref = \
-        refs[i + nb :]
+    i += nb
+    mask_ref = refs[i] if has_mask else None
+    i += has_mask
+    tok_ref, prob_ref, max_ref, acc_ref, m_ref, s_ref, bi_ref = refs[i:]
 
     @pl.when(jnp.logical_and(j == 0, k_step == 0))
     def _():
@@ -903,7 +905,12 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
         if cap:
             block = jnp.float32(cap) * jnp.tanh(block / jnp.float32(cap))
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
-        block = jnp.where(col < n_logical, block, -jnp.inf)
+        live = col < n_logical
+        if has_mask:
+            # Allowed-token constraint (run_mmlu.cc's TokenSet): banned
+            # columns leave both the argmax and the softmax sum.
+            live = jnp.logical_and(live, mask_ref[...] != 0)
+        block = jnp.where(live, block, -jnp.inf)
         bmax = jnp.max(block, axis=-1, keepdims=True)
         # First-occurrence tie-break inside the block (min col at the max)
         # and across blocks (strict > keeps the earlier winner) — matches
@@ -912,10 +919,15 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
                        axis=-1, keepdims=True)
         m_old, s_old, bi_old = m_ref[:, :1], s_ref[:, :1], bi_ref[:, :1]
         m_new = jnp.maximum(m_old, bmax)
-        # First block: s_old=0 and exp(-inf - finite)=0, so 0*0=0 (no NaN;
-        # every block holds >= 1 real column because N padding < bn).
-        s_new = (s_old * jnp.exp(m_old - m_new)
-                 + jnp.sum(jnp.exp(block - m_new), axis=-1, keepdims=True))
+        # -inf - -inf = NaN guards: m_old=-inf means no live column seen
+        # yet (s_old=0 — drop the rescale term); m_new=-inf means this
+        # block is fully banned too (exp against 0 instead, every term
+        # -inf -> 0).  The unmasked case never hits either after the
+        # first block (N padding < bn leaves >= 1 real column per block).
+        safe_m = jnp.where(jnp.isinf(m_new), 0.0, m_new)
+        s_new = (jnp.where(jnp.isinf(m_old), 0.0,
+                           s_old * jnp.exp(m_old - safe_m))
+                 + jnp.sum(jnp.exp(block - safe_m), axis=-1, keepdims=True))
         bi_new = jnp.where(bmax > m_old, bidx, bi_old)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
         s_ref[...] = jnp.broadcast_to(s_new, s_ref.shape)
@@ -949,6 +961,7 @@ def _top1_pallas(
     block_k: int,
     interpret: bool,
     norm_w: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     m, k_dim = a.shape
     n, k2 = shape
@@ -974,9 +987,15 @@ def _top1_pallas(
         inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
     in_specs += b_specs
     inputs += b_in
+    has_mask = mask is not None
+    if has_mask:
+        # i32 0/1 row [1, Np]; padded columns are 0 (banned), consistent
+        # with the in-kernel n_logical guard.
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)))
+        inputs.append(_pad2(mask.astype(jnp.int32).reshape(1, -1), 1, np_))
 
     kernel = functools.partial(_top1_kernel, kind, grid[1], grid[2], scale,
-                               cap, gk, k_dim, n, bn, has_norm)
+                               cap, gk, k_dim, n, bn, has_norm, has_mask)
     tok, prob, mx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1012,6 +1031,7 @@ def matmul_top1(
     *,
     final_cap: float = 0.0,
     prologue_norm: jnp.ndarray | None = None,
+    allowed_mask: jnp.ndarray | None = None,
     blocks: tuple[int, int, int] | None = None,
     interpret: bool | None = None,
     use_pallas: bool | None = None,
@@ -1021,6 +1041,9 @@ def matmul_top1(
     the logits GEMM — the [M, vocab] logits never reach HBM
     (ops-inl.h:1228-1257 + 1259-1308; the greedy decode hot path).
 
+    allowed_mask: [N] bool/int — banned columns leave the argmax and the
+    softmax sum in-kernel (the TokenSet constraint, run_mmlu.cc), same
+    semantics as masking the logits to NEG_INF before top1.
     want_stats=True appends the capped row max [M] — together with
     1/prob (the row sum-exp at that max) this is the full online-softmax
     state, letting vocab-sharded TP merge per-shard heads with O(M)
@@ -1046,18 +1069,20 @@ def matmul_top1(
 
     if not use_pallas:
         from gemma_tpu.ops.ops import soft_cap
-        from gemma_tpu.ops.sampling import top1
+        from gemma_tpu.ops.sampling import NEG_INF, top1
 
         logits = soft_cap(final_cap, matmul(
             a, w, out_dtype=jnp.float32, interpret=interpret,
             use_pallas=False))
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask.astype(bool), logits, NEG_INF)
         tok, prob = top1(logits)
         if want_stats:
             return tok, prob, jnp.max(logits, axis=-1)
         return tok, prob
     tok, prob, mx = _top1_pallas(
         a, w.arrays, w.kind, w.shape, float(w.scale), float(final_cap),
-        *blocks, interpret=interpret, norm_w=norm_w)
+        *blocks, interpret=interpret, norm_w=norm_w, mask=allowed_mask)
     return (tok, prob, mx) if want_stats else (tok, prob)
 
 

@@ -413,3 +413,36 @@ def test_matmul_top1_prologue_norm():
     np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
     np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_matmul_top1_allowed_mask():
+    """Fused allowed-token constraint == masking the materialized logits
+    to NEG_INF before top1 (tokens exact, prob to ulps), including when
+    the unconstrained argmax is banned."""
+    from gemma_tpu.ops.matmul import matmul_top1
+    from gemma_tpu.ops.ops import soft_cap
+    from gemma_tpu.ops.sampling import NEG_INF, top1
+
+    rng = np.random.default_rng(37)
+    m, k, n = 8, 512, 1000
+    a, w, _ = _mk("sfp", m, k, n, rng)
+    a = a.astype(jnp.bfloat16)
+    logits = soft_cap(30.0, matmul(a, w, blocks=(8, 512, 512),
+                                   out_dtype=jnp.float32))
+    free_tok = np.asarray(jnp.argmax(logits, axis=-1))
+    # Ban every row's unconstrained winner plus most of the vocab; allow
+    # a sparse set (like run_mmlu's answer tokens).
+    allowed = np.zeros((n,), bool)
+    allowed[::7] = True
+    allowed[free_tok] = False
+    mask = jnp.asarray(allowed)
+
+    got_tok, got_prob = matmul_top1(a, w, final_cap=30.0,
+                                    allowed_mask=mask,
+                                    blocks=(8, 256, 512))
+    want_tok, want_prob = top1(jnp.where(mask, logits, NEG_INF))
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
+    assert not np.isin(np.asarray(got_tok), free_tok).any() or \
+        allowed[np.asarray(got_tok)].all()
+    np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
+                               rtol=1e-5, atol=1e-6)

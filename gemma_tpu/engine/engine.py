@@ -201,8 +201,6 @@ class GemmaEngine:
 
                 self._decode_chunk_fns[key] = run
                 return run
-            sampler = sampling.make_sampler(top_k, temperature)
-
             @functools.partial(jax.jit, donate_argnums=(3,))
             def run(params, prev, pos, cache, seed, *mask):
                 def body(carry, _):
@@ -218,19 +216,19 @@ class GemmaEngine:
                         )
                         tok = tok.astype(jnp.int32)
                         return (tok, pos + 1, cache), (tok, prob)
-                    logits, cache = forward(
+                    # Sampled decode: fused top-k head selects the k
+                    # candidates in-kernel; the categorical draw runs on
+                    # the tiny [B, k] result.
+                    (vals, idxs), cache = forward(
                         params, prev[:, None], pos[:, None], cache, config,
-                        return_logits="last",
+                        return_logits="topk", top_k_n=top_k,
+                        top1_mask=mask[0] if mask else None,
                     )
-                    if mask:
-                        logits = jnp.where(mask[0], logits, sampling.NEG_INF)
-                    if top_k == 1:
-                        tok, prob = sampling.top1(logits)
-                    else:
-                        keys = jax.vmap(
-                            lambda qi, p: sample_key(seed, qi, p)
-                        )(jnp.arange(batch), pos + 1)
-                        tok, prob = sampler(logits, keys)
+                    keys = jax.vmap(
+                        lambda qi, p: sample_key(seed, qi, p)
+                    )(jnp.arange(batch), pos + 1)
+                    tok, prob = sampling.sample_from_topk(
+                        vals, idxs, keys, temperature)
                     tok = tok.astype(jnp.int32)
                     return (tok, pos + 1, cache), (tok, prob)
 

@@ -35,7 +35,8 @@ from gemma_tpu.models.configs import (
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
 from gemma_tpu.ops.attention import attention_mask, dot_softmax_weighted_sum
-from gemma_tpu.ops.matmul import QuantTensor, gated_ffn, matmul, matmul_top1
+from gemma_tpu.ops.matmul import (QuantTensor, gated_ffn, matmul,
+                                  matmul_top1, matmul_topk)
 
 
 def _register(cls):
@@ -268,13 +269,16 @@ def forward(
     image_slot_mask: jnp.ndarray | None = None,
     valid: jnp.ndarray | None = None,
     top1_mask: jnp.ndarray | None = None,
+    top_k_n: int = 0,
 ) -> tuple[jnp.ndarray | None, KVCache]:
     """Run the full stack over a [B, T] token step.
 
     return_logits: "all" -> [B, T, vocab]; "last" -> [B, vocab] for the final
     token; "top1" -> ((token [B], prob [B]), cache) greedy head fused into
     the logits GEMM (optionally constrained by top1_mask [vocab], the
-    allowed-token TokenSet); "none" -> (None, cache) (prefill).
+    allowed-token TokenSet); "topk" -> ((values [B, top_k_n], indices
+    [B, top_k_n]), cache) fused top-k head for sampled decode;
+    "none" -> (None, cache) (prefill).
     image_embeddings/image_slot_mask splice precomputed image token rows into
     the embedding stream (gemma.cc:144-157, PaliGemma/VLM prefill).
     """
@@ -320,6 +324,12 @@ def forward(
             x[:, -1, :], params.embedding, final_cap=config.final_cap,
             prologue_norm=params.final_norm, allowed_mask=top1_mask)
         return (tok, prob), cache
+    if return_logits == "topk":
+        vals, idxs = matmul_topk(
+            x[:, -1, :], params.embedding, top_k_n,
+            final_cap=config.final_cap, prologue_norm=params.final_norm,
+            allowed_mask=top1_mask)
+        return (vals, idxs), cache
     if return_logits == "last":
         # One row per query: fold the final RMSNorm into the logits GEMM
         # prologue (bit-identical; saves the normed-x HBM round trip).

@@ -1025,6 +1025,211 @@ def _top1_pallas(
     return tok[:m, 0], prob[:m, 0], mx[:m, 0]
 
 
+def _topk_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
+                 cap: float, gk: int, k_logical: int, n_logical: int,
+                 bn: int, k_top: int, has_norm: bool, has_mask: bool,
+                 *refs):
+    """Top-k logits head: the k_top largest softcapped logits (values +
+    global indices, descending, ties by index) WITHOUT materializing the
+    [M, N] logits — the FusedSoftmaxAndSampleTopK front half
+    (ops-inl.h:1375-1398); the categorical draw over [M, k_top] runs
+    outside (ops/sampling.py:sample_from_topk).
+
+    Per N block: k_top extraction rounds (max, stable tie-break by global
+    index, kill) over the candidate row [running k_top lanes | block],
+    merged back into the running state.  Matches jax.lax.top_k's
+    descending sort with ascending-index ties.
+    """
+    j, k_step = pl.program_id(1), pl.program_id(2)
+    nb = _n_b_refs(kind)
+    i = 1
+    a_ref = refs[0]
+    norm_ref = refs[i] if has_norm else None
+    i += has_norm
+    b_refs = refs[i : i + nb]
+    i += nb
+    mask_ref = refs[i] if has_mask else None
+    i += has_mask
+    vals_ref, idx_ref, acc_ref, rv_ref, ri_ref = refs[i:]
+
+    @pl.when(jnp.logical_and(j == 0, k_step == 0))
+    def _():
+        rv_ref[...] = jnp.full_like(rv_ref, -jnp.inf)
+        ri_ref[...] = jnp.zeros_like(ri_ref)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a = _norm_a(a_ref, norm_ref, k_logical) if has_norm else a_ref
+    _acc_step(kind, gk, a, b_refs, acc_ref)
+
+    @pl.when(k_step == n_k_steps - 1)
+    def _():
+        block = acc_ref[...]
+        if scale != 1.0:
+            block = block * jnp.float32(scale)
+        if cap:
+            block = jnp.float32(cap) * jnp.tanh(block / jnp.float32(cap))
+        col = j * bn + jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+        live = col < n_logical
+        if has_mask:
+            live = jnp.logical_and(live, mask_ref[...] != 0)
+        block = jnp.where(live, block, -jnp.inf)
+
+        cand = jnp.concatenate([rv_ref[...], block], axis=1)
+        gidx = jnp.concatenate([ri_ref[...], col], axis=1)
+        # Running lanes >= k_top hold -inf/idx 0 and are never selected
+        # ahead of real entries.
+        big = jnp.int32(2**31 - 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rv_ref.shape, 1)
+        new_v = jnp.full_like(rv_ref[...], -jnp.inf)
+        new_i = jnp.zeros_like(ri_ref[...])
+        for t in range(k_top):
+            mx = jnp.max(cand, axis=-1, keepdims=True)
+            sel = jnp.min(jnp.where(cand == mx, gidx, big),
+                          axis=-1, keepdims=True)
+            sel = jnp.where(jnp.isinf(mx), 0, sel)  # all--inf row: idx 0
+            new_v = jnp.where(lane == t, mx, new_v)
+            new_i = jnp.where(lane == t, sel, new_i)
+            cand = jnp.where(
+                jnp.logical_and(cand == mx, gidx == sel), -jnp.inf, cand)
+        rv_ref[...] = new_v
+        ri_ref[...] = new_i
+
+        @pl.when(j == n_j_steps - 1)
+        def _():
+            vals_ref[...] = new_v
+            idx_ref[...] = new_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "shape", "scale", "cap", "k_top", "block_m",
+                     "block_n", "block_k", "interpret"),
+)
+def _topk_pallas(
+    a: jnp.ndarray,
+    arrays: dict[str, jnp.ndarray],
+    kind: str,
+    shape: tuple[int, int],
+    scale: float,
+    cap: float,
+    k_top: int,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    interpret: bool,
+    norm_w: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    m, k_dim = a.shape
+    n, k2 = shape
+    assert k_dim == k2, (a.shape, shape)
+    assert 1 <= k_top <= 128
+
+    bm = min(block_m, round_up(m, 8))
+    bn = min(block_n, round_up(n, 128))
+    bk = min(block_k, round_up(k_dim, 128))
+    bk = _legalize_bk(kind, bk, k_dim)
+    mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k_dim, bk)
+
+    a_pad = _pad2(a, mp, kp)
+    grid = (mp // bm, np_ // bn, kp // bk)
+    has_norm = norm_w is not None
+    assert not (has_norm and grid[2] > 1)
+
+    b_in, b_specs, gk = _b_inputs(kind, arrays, np_, kp, bn, bk)
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    inputs: list = [a_pad]
+    if has_norm:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
+    in_specs += b_specs
+    inputs += b_in
+    has_mask = mask is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)))
+        inputs.append(_pad2(mask.astype(jnp.int32).reshape(1, -1), 1, np_))
+
+    kernel = functools.partial(_topk_kernel, kind, grid[1], grid[2], scale,
+                               cap, gk, k_dim, n, bn, k_top, has_norm,
+                               has_mask)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0)),
+                   pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((mp, 128), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + np_ * kp + mp * 128 * 8,
+            transcendentals=mp * np_,
+        ),
+    )(*inputs)
+    return vals[:m, :k_top], idxs[:m, :k_top]
+
+
+def matmul_topk(
+    a: jnp.ndarray,
+    w: QuantTensor,
+    k_top: int,
+    *,
+    final_cap: float = 0.0,
+    prologue_norm: jnp.ndarray | None = None,
+    allowed_mask: jnp.ndarray | None = None,
+    blocks: tuple[int, int, int] | None = None,
+    interpret: bool | None = None,
+    use_pallas: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(values [M, k], indices [M, k]) of the k largest softcapped logits,
+    fused into the GEMM (jax.lax.top_k ordering; the sampled-decode
+    analog of matmul_top1 — FusedSoftmaxAndSampleTopK's selection half,
+    ops-inl.h:1375-1398)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if use_pallas is None:
+        use_pallas = True
+    if blocks is None and use_pallas:
+        from gemma_tpu.ops.autotune import best_blocks
+
+        blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+
+    norm_w = None
+    if prologue_norm is not None and use_pallas:
+        bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)), w.k)
+        if bk >= round_up(w.k, 128):
+            norm_w = prologue_norm
+    if prologue_norm is not None and norm_w is None:
+        from gemma_tpu.ops.ops import rms_norm
+
+        a = rms_norm(a, prologue_norm).astype(jnp.bfloat16)
+
+    if not use_pallas:
+        from gemma_tpu.ops.ops import soft_cap
+        from gemma_tpu.ops.sampling import NEG_INF
+
+        logits = soft_cap(final_cap, matmul(
+            a, w, out_dtype=jnp.float32, interpret=interpret,
+            use_pallas=False))
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask.astype(bool), logits, NEG_INF)
+        return jax.lax.top_k(logits, k_top)
+    return _topk_pallas(a, w.arrays, w.kind, w.shape, float(w.scale),
+                        float(final_cap), int(k_top), *blocks,
+                        interpret=interpret, norm_w=norm_w,
+                        mask=allowed_mask)
+
+
 def matmul_top1(
     a: jnp.ndarray,
     w: QuantTensor,

@@ -51,6 +51,12 @@ def sample_top_k(
     """
     lf = logits.astype(jnp.float32)
     topk_logits, topk_idx = jax.lax.top_k(lf, top_k)
+    return _draw_from_topk(topk_logits, topk_idx, key, temperature)
+
+
+def _draw_from_topk(topk_logits, topk_idx, key, temperature: float):
+    """Categorical draw over pre-selected top-k (logits, indices) rows —
+    the back half of FusedSoftmaxAndSampleTopK (ops-inl.h:1375-1398)."""
     probs = softmax(topk_logits, axis=-1)
     if temperature == 0.0:
         choice = jnp.zeros(probs.shape[:-1], jnp.int32)
@@ -63,6 +69,16 @@ def sample_top_k(
     token = jnp.take_along_axis(topk_idx, choice[..., None], axis=-1)[..., 0]
     prob = jnp.take_along_axis(probs, choice[..., None], axis=-1)[..., 0]
     return token.astype(jnp.int32), prob
+
+
+def sample_from_topk(vals, idxs, keys, temperature: float):
+    """Batched draw from fused top-k head output (matmul_topk): vals/idxs
+    [B, k] descending, keys [B, 2] per-(query, pos) streams.  Identical
+    sampling semantics to make_sampler's top-k path given the same
+    selection."""
+    return jax.vmap(
+        functools.partial(_draw_from_topk, temperature=temperature)
+    )(vals, idxs, keys)
 
 
 def make_sampler(top_k: int, temperature: float):

@@ -321,6 +321,8 @@ def _tp_forward_local(
     overlap_chunks: int = 1,
     collectives: bool = True,
     ring_reduce: bool = False,
+    top_k_n: int = 0,
+    logits_mask: jnp.ndarray | None = None,
 ) -> tuple:
     """The shard_map body: everything here sees local shards (the cache
     pytree's static aux — ring lengths, layer map — passes through).
@@ -435,6 +437,12 @@ def _tp_forward_local(
 
     if return_logits == "none":
         return cache
+    local_mask = None
+    if logits_mask is not None and return_logits in ("top1", "topk"):
+        # Allowed-token TokenSet [V] (replicated): each shard constrains
+        # its own vocab-row slice inside the fused head kernel.
+        local_mask = jax.lax.dynamic_slice_in_dim(
+            logits_mask, midx * vocab_local, vocab_local)
     if return_logits == "top1":
         # Greedy head over the vocab-row shard: each shard runs the fused
         # argmax+online-softmax logits kernel on its local rows, then the
@@ -445,12 +453,17 @@ def _tp_forward_local(
 
         tok_l, prob_l, m_l = matmul_top1(
             x[:, -1, :], params.embedding, final_cap=config.final_cap,
-            prologue_norm=params.final_norm, want_stats=True)
+            prologue_norm=params.final_norm, want_stats=True,
+            allowed_mask=local_mask)
         tok_l = tok_l + midx * vocab_local
         if not collectives:  # diagnostic mode: local head only
             return (tok_l.astype(jnp.int32), prob_l), cache
         m_g = jax.lax.pmax(m_l, "model")
-        s_g = jax.lax.psum((1.0 / prob_l) * jnp.exp(m_l - m_g), "model")
+        # A fully-masked shard reports m_l = -inf with undefined prob;
+        # its sum-exp contribution is exactly 0.
+        sexp_l = jnp.where(jnp.isfinite(m_l),
+                           (1.0 / prob_l) * jnp.exp(m_l - m_g), 0.0)
+        s_g = jax.lax.psum(sexp_l, "model")
         # Earliest shard holding the global max wins ties (matches the
         # single-device first-occurrence argmax: shard order IS global
         # index order for row-sharded vocab).
@@ -459,6 +472,27 @@ def _tp_forward_local(
         tok_g = jax.lax.psum(
             jnp.where(midx == win_shard, tok_l, 0), "model")
         return (tok_g.astype(jnp.int32), 1.0 / s_g), cache
+    if return_logits == "topk":
+        # Sampled-decode head: per-shard fused top-k over the local vocab
+        # rows, then an O(B * tp * k) merge — all_gather the [B, k]
+        # candidates (shard order == global index order, so lax.top_k's
+        # positional tie-break reproduces the single-device ascending-
+        # index tie order) and re-select globally.  The [B, vocab] logits
+        # never exist anywhere.
+        from gemma_tpu.ops.matmul import matmul_topk
+
+        vals_l, idx_l = matmul_topk(
+            x[:, -1, :], params.embedding, top_k_n,
+            final_cap=config.final_cap, prologue_norm=params.final_norm,
+            allowed_mask=local_mask)
+        idx_l = idx_l + midx * vocab_local
+        if not collectives:  # diagnostic mode: local head only
+            return (vals_l, idx_l), cache
+        vals_g = jax.lax.all_gather(vals_l, "model", axis=1, tiled=True)
+        idx_g = jax.lax.all_gather(idx_l, "model", axis=1, tiled=True)
+        vals, sel = jax.lax.top_k(vals_g, top_k_n)
+        idxs = jnp.take_along_axis(idx_g, sel, axis=1)
+        return (vals, idxs), cache
     if return_logits == "last":
         x = x[:, -1:, :]
     x_bf = ops.rms_norm(x, params.final_norm).astype(jnp.bfloat16)
@@ -571,31 +605,33 @@ def build_tp_decode_chunk(
         bl = prev.shape[0]
         didx = jax.lax.axis_index("data")
         qids = didx * bl + jnp.arange(bl)
-        sampler = sampling.make_sampler(top_k, temperature)
 
         def step(carry, _):
             prev, pos, cache = carry
             valid = jnp.ones((bl, 1), bool)
             pe = jnp.zeros((bl,), jnp.int32)
-            if top_k == 1 and not mask:
-                # Greedy, unconstrained: fused per-shard top1 head + O(B)
-                # merge (no [B, vocab] logits, no all_gather).
+            lmask = mask[0] if mask else None
+            if top_k == 1:
+                # Greedy: fused per-shard top1 head + O(B) merge (no
+                # [B, vocab] logits, no all_gather); an allowed-token
+                # mask rides the kernel's in-block constraint.
                 (tok, prob), cache = _tp_forward_local(
                     params, prev[:, None], pos[:, None], valid, pe, cache,
-                    config=config, tp=tp, return_logits="top1")
-                tok = tok.astype(jnp.int32)
-                return (tok, pos + 1, cache), (tok, prob)
-            logits, cache = _tp_forward_local(
-                params, prev[:, None], pos[:, None], valid, pe, cache,
-                config=config, tp=tp, return_logits="last")
-            if mask:
-                logits = jnp.where(mask[0], logits, sampling.NEG_INF)
-            if top_k == 1:
-                tok, prob = sampling.top1(logits)
+                    config=config, tp=tp, return_logits="top1",
+                    logits_mask=lmask)
             else:
+                # Sampled: fused per-shard top-k head + O(B*tp*k) merge;
+                # the categorical draw runs on the tiny [B, k] result
+                # with the global query index, so streams are
+                # bit-identical to the single-device engine.
+                (vals, idxs), cache = _tp_forward_local(
+                    params, prev[:, None], pos[:, None], valid, pe, cache,
+                    config=config, tp=tp, return_logits="topk",
+                    top_k_n=top_k, logits_mask=lmask)
                 keys = jax.vmap(
                     lambda qi, p: sample_key(seed, qi, p))(qids, pos + 1)
-                tok, prob = sampler(logits, keys)
+                tok, prob = sampling.sample_from_topk(
+                    vals, idxs, keys, temperature)
             tok = tok.astype(jnp.int32)
             return (tok, pos + 1, cache), (tok, prob)
 

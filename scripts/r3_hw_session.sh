@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 hardware session: run when the axon TPU tunnel is up.
+#
+#   bash scripts/r3_hw_session.sh [stage...]
+#
+# Stages (default: all, in order): parity tune27b tune9b tune256 ablate bench
+# Each stage logs to /tmp/r3hw/<stage>.log; parity failure aborts the rest.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/r3hw
+stages=${@:-"parity tune27b tune9b tune256 ablate bench"}
+
+run() {  # run <name> <timeout-s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name ==="
+    timeout "$tmo" python -u "$@" 2>&1 | tee "/tmp/r3hw/$name.log"
+    return ${PIPESTATUS[0]}
+}
+
+for s in $stages; do
+    case $s in
+    parity)
+        # Native-lowering parity for every round-3 kernel (fused
+        # prologue/epilogue, top1 head, i4) — abort on failure.
+        run parity 3600 scripts/tpu_parity.py || { echo "PARITY FAILED"; exit 1; } ;;
+    tune27b)
+        # Re-sweep 27B decode shapes: the first sweep ran with the old
+        # reps formula (4x too few loop iters for 0.5-byte codecs).
+        run tune27b 10800 scripts/tune.py gemma2_27b --kinds i4,nuq4 --ms 8 ;;
+    tune9b)
+        run tune9b 5400 scripts/tune.py gemma2_9b --kinds i8,i4 --ms 8 ;;
+    tune256)
+        # Prefill M256 sweeps (VERDICT r2 #4: cache had no M256 i8).
+        run tune256 10800 scripts/tune.py gemma2_2b --kinds i8,sfp,i4 --ms 256 ;;
+    ablate)
+        run ablate 3600 scripts/decode_ablate.py --kind i8 ;;
+    bench)
+        run bench 10800 bench.py ;;
+    *) echo "unknown stage $s"; exit 2 ;;
+    esac
+done

@@ -446,3 +446,66 @@ def test_matmul_top1_allowed_mask():
         allowed[np.asarray(got_tok)].all()
     np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "sfp", "i8"])
+def test_matmul_topk_matches_lax_topk(kind):
+    """Fused top-k head == lax.top_k over the materialized capped logits
+    (indices exact incl. tie order, values to kernel ulps), with N
+    padding and a K-blocked grid."""
+    import jax
+
+    from gemma_tpu.ops.matmul import matmul_topk
+    from gemma_tpu.ops.ops import soft_cap
+
+    rng = np.random.default_rng(41)
+    m, k, n, kt = 8, 512, 1000, 8
+    a, w, _ = _mk(kind, m, k, n, rng)
+    a = a.astype(jnp.bfloat16)
+    logits = soft_cap(30.0, matmul(a, w, blocks=(8, 512, 512),
+                                   out_dtype=jnp.float32))
+    want_v, want_i = jax.lax.top_k(logits, kt)
+    for blocks in ((8, 256, 512), (8, 512, 256)):
+        got_v, got_i = matmul_topk(a, w, kt, final_cap=30.0, blocks=blocks)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_topk_tie_order():
+    """Duplicate logit values must come out in ascending-index order
+    (jax.lax.top_k's stable tie-break), across block boundaries."""
+    from gemma_tpu.ops.matmul import matmul_topk
+
+    m, k, n, kt = 8, 128, 512, 4
+    # A row of ones against weight rows engineered to produce repeats:
+    # rows j and j+300 have identical values.
+    w_dense = np.zeros((n, k), np.float32)
+    w_dense[5] = w_dense[305] = 0.5   # tie pair spanning blocks
+    w_dense[100] = 1.0                # unique max
+    w_dense[200] = w_dense[201] = 0.25  # adjacent tie
+    w = QuantTensor("f32", (n, k), 1.0, {"w": jnp.asarray(w_dense)})
+    a = jnp.ones((m, k), jnp.float32)
+    got_v, got_i = matmul_topk(a, w, kt, blocks=(8, 256, 128))
+    for r in range(m):
+        np.testing.assert_array_equal(np.asarray(got_i)[r],
+                                      [100, 5, 305, 200])
+
+
+def test_sample_from_topk_matches_sampler():
+    """Given identical top-k selections, the fused-head draw equals
+    make_sampler's draw bit-for-bit (same keys, same semantics)."""
+    import jax
+
+    from gemma_tpu.ops import sampling
+    from gemma_tpu.utils.basics import sample_key
+
+    rng = np.random.default_rng(43)
+    b, v, kt, temp = 4, 512, 8, 0.7
+    logits = jnp.asarray(rng.normal(0, 2, (b, v)).astype(np.float32))
+    keys = jnp.stack([sample_key(7, qi, 3 + qi) for qi in range(b)])
+    want = sampling.make_sampler(kt, temp)(logits, keys)
+    vals, idxs = jax.lax.top_k(logits, kt)
+    got = sampling.sample_from_topk(vals, idxs, keys, temp)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))

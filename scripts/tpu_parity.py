@@ -116,6 +116,22 @@ def main() -> None:
         ok &= check(f"matmul_top1[{kind}] prob", got_prob, want_prob,
                     1e-4, 1e-5)
 
+    # --- fused top-k logits head (indices exact incl. tie order) ---
+    from gemma_tpu.ops.matmul import matmul_topk
+
+    for kind in ("sfp", "i8"):
+        w = synth_quant(rng, 1000, k, kind)  # N padding: -inf guard active
+        got_v, got_i = matmul_topk(af, w, 8, final_cap=30.0,
+                                   prologue_norm=nw, blocks=(16, 256, 2304))
+        anorm = rms_norm(af, nw).astype(jnp.bfloat16)
+        logits = soft_cap(30.0, matmul(anorm, w, blocks=(16, 256, 2304)))
+        want_v, want_i = jax.lax.top_k(logits, 8)
+        idx_ok = bool((np.asarray(got_i) == np.asarray(want_i)).all())
+        print(f"{'PASS' if idx_ok else 'FAIL'}  "
+              f"{f'matmul_topk[{kind}] indices exact':<42}")
+        ok &= idx_ok
+        ok &= check(f"matmul_topk[{kind}] values", got_v, want_v, 1e-4, 1e-5)
+
     # --- attention (D=256 is lane-aligned: native kernels engage) ---
     # SEQ=512: the i8 pool's s_alloc is 544 (ring+1 padded to the 32-row
     # sublane tile), so the flash kernel's trailing 512-wide S block reads

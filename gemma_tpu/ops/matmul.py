@@ -1199,6 +1199,8 @@ def matmul_topk(
         interpret = _interpret_default()
     if use_pallas is None:
         use_pallas = True
+    if k_top > 128:  # beyond the kernel's one-vreg running state
+        use_pallas = False
     if blocks is None and use_pallas:
         from gemma_tpu.ops.autotune import best_blocks
 

@@ -803,20 +803,27 @@ def matmul(
     post_w = None
     if epilogue_norm is not None and use_pallas:
         # Force one N step; shrink bk until the widened B block fits.
+        # Shrink steps must stay codec-legal: a bk that _legalize_bk
+        # would promote back to full-K (nuq4 needs bk % 2048 == 0) would
+        # silently restore the exact over-budget block the loop escaped.
         bm, _, bk = blocks
         bn = round_up(w.n, 128)
         b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
                    "i4": 0.5, "i8": 1}[w.kind]
-        k_align = 256 if w.kind in ("nuq4", "i4") else 128
+        k_align = {"nuq4": 2048, "i4": 256}.get(w.kind, 128)
+
+        def fits(bk_):
+            return (2 * (bm * bk_ * 4 + bn * bk_ * b_bytes) + bn * bk_ * 2
+                    + 2 * bm * bn * 4) <= 10 * 1024 * 1024
+
         bk = _legalize_bk(w.kind, min(bk, round_up(w.k, k_align)), w.k)
-        while bk > k_align and (
-                2 * (bm * bk * 4 + bn * bk * b_bytes) + bn * bk * 2
-                + 2 * bm * bn * 4) > 10 * 1024 * 1024:
+        while bk > k_align and not fits(bk):
             bk = max(k_align, (bk // 2) // k_align * k_align)
-        blocks = (bm, bn, bk)
-        post_w = epilogue_norm
-    elif epilogue_norm is not None:
-        pass  # applied via XLA below
+        bk = _legalize_bk(w.kind, bk, w.k)
+        if fits(bk):
+            blocks = (bm, bn, bk)
+            post_w = epilogue_norm
+        # else: no legal K-blocking fits VMEM — epilogue via XLA below
 
     norm_w = None
     if prologue_norm is not None and use_pallas:
@@ -830,7 +837,10 @@ def matmul(
 
     add2d = None
     if add is not None and add.ndim == 2 and use_pallas \
-            and add.shape == (a.shape[0], w.n):
+            and add.shape == (a.shape[0], w.n) \
+            and (epilogue_norm is None or post_w is not None):
+        # (residual fusion must not precede an out-of-kernel epilogue
+        # norm: out = add + postnorm(C), not postnorm(add + C))
         add2d = add
         add = None
 
@@ -840,6 +850,10 @@ def matmul(
             out_dtype=out_dtype, interpret=interpret, norm_w=norm_w,
             post_w=post_w, add2d=add2d,
         )
+        if epilogue_norm is not None and post_w is None:
+            from gemma_tpu.ops.ops import rms_norm
+
+            out = rms_norm(out, epilogue_norm).astype(out_dtype)
     else:
         dense = w.dequantize(jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32)
         out = jax.lax.dot_general(
@@ -1199,15 +1213,30 @@ def matmul_topk(
         interpret = _interpret_default()
     if use_pallas is None:
         use_pallas = True
-    if k_top > 128:  # beyond the kernel's one-vreg running state
-        use_pallas = False
-    if blocks is None and use_pallas:
+    if not use_pallas or k_top > 128:
+        # k_top beyond the kernel's one-vreg running state: keep the
+        # quantized (Pallas when available) GEMM for the logits, only the
+        # selection falls back to lax.top_k on materialized logits.
+        from gemma_tpu.ops.ops import soft_cap
+        from gemma_tpu.ops.sampling import NEG_INF
+
+        if prologue_norm is not None:
+            from gemma_tpu.ops.ops import rms_norm
+
+            a = rms_norm(a, prologue_norm).astype(jnp.bfloat16)
+        logits = soft_cap(final_cap, matmul(
+            a, w, out_dtype=jnp.float32, interpret=interpret,
+            use_pallas=use_pallas))
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask.astype(bool), logits, NEG_INF)
+        return jax.lax.top_k(logits, k_top)
+    if blocks is None:
         from gemma_tpu.ops.autotune import best_blocks
 
         blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
 
     norm_w = None
-    if prologue_norm is not None and use_pallas:
+    if prologue_norm is not None:
         bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)), w.k)
         if bk >= round_up(w.k, 128):
             norm_w = prologue_norm
@@ -1215,17 +1244,6 @@ def matmul_topk(
         from gemma_tpu.ops.ops import rms_norm
 
         a = rms_norm(a, prologue_norm).astype(jnp.bfloat16)
-
-    if not use_pallas:
-        from gemma_tpu.ops.ops import soft_cap
-        from gemma_tpu.ops.sampling import NEG_INF
-
-        logits = soft_cap(final_cap, matmul(
-            a, w, out_dtype=jnp.float32, interpret=interpret,
-            use_pallas=False))
-        if allowed_mask is not None:
-            logits = jnp.where(allowed_mask.astype(bool), logits, NEG_INF)
-        return jax.lax.top_k(logits, k_top)
     return _topk_pallas(a, w.arrays, w.kind, w.shape, float(w.scale),
                         float(final_cap), int(k_top), *blocks,
                         interpret=interpret, norm_w=norm_w,
@@ -1378,8 +1396,16 @@ def gated_ffn(
             bn = (bn // 2 + 127) // 128 * 128
         blocks = (bm, max(bn, 128), bk)
         norm_w = None
-        if prologue_norm is not None and bkl >= round_up(w1.k, 128):
-            norm_w = prologue_norm  # single K step: fuse the pre-FFW norm
+        if prologue_norm is not None:
+            if bkl >= round_up(w1.k, 128):
+                norm_w = prologue_norm  # single K step: fuse pre-FFW norm
+            else:
+                # K-blocked tile can't see the whole row: compose the
+                # norm outside (bit-identical), NEVER skip it.
+                from gemma_tpu.ops.ops import rms_norm
+
+                x = rms_norm(x, prologue_norm).astype(jnp.bfloat16)
+                prologue_norm = None
         key = (w1.kind, w1.shape, blocks, norm_w is not None)
         if key not in _GATED_UNSUPPORTED:
             # The in-jit try/except below cannot catch a Mosaic VMEM

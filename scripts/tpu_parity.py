@@ -77,7 +77,7 @@ def main() -> None:
     nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
     pw = jnp.asarray(rng.normal(0, 0.1, (n,)).astype(np.float32))
     resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
-    for kind in ("sfp", "i4", "i8"):
+    for kind in ("sfp", "nuq4", "i4", "i8"):
         w = synth_quant(rng, n, k, kind)
         anorm = rms_norm(af, nw).astype(jnp.bfloat16)
         got = matmul(af, w, blocks=(16, 256, 2304), prologue_norm=nw)
@@ -88,6 +88,13 @@ def main() -> None:
                      add=resid)
         want = resid + rms_norm(matmul(anorm, w, blocks=(16, 256, 2304)), pw)
         ok &= check(f"matmul[{kind}] postnorm+residual epilogue", got, want,
+                    1e-5, 1e-5)
+        # K-blocked epilogue: the VMEM-shrink loop must land on codec-
+        # legal bk (nuq4's 2048 alignment) instead of re-promoting to an
+        # over-budget full-K block (round-3 review finding).
+        got = matmul(anorm, w, blocks=(16, 256, 512), epilogue_norm=pw,
+                     add=resid)
+        ok &= check(f"matmul[{kind}] K-blocked epilogue", got, want,
                     1e-5, 1e-5)
     w1 = synth_quant(rng, n, k, "i4")
     w2 = synth_quant(rng, n, k, "i4")

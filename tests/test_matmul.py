@@ -247,6 +247,16 @@ def test_gated_ffn_prologue_norm_bit_identical():
                                 out_dtype=jnp.float32))
     np.testing.assert_array_equal(got, want)
 
+    # K-blocked tile (bk < K): the kernel can't fuse the row norm, so it
+    # must compose OUTSIDE — never run on un-normalized x (round-3 review
+    # finding: this silently skipped the pre-FFW norm).
+    kb = (8, 128, 256)
+    got = np.asarray(gated_ffn(x, w1, w2, blocks=kb, prologue_norm=nw,
+                               out_dtype=jnp.float32))
+    want = np.asarray(gated_ffn(xb, w1, w2, blocks=kb,
+                                out_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, want)
+
 
 def test_i4_device_layout_bit_exact():
     """QuantTensor.dequantize must EXACTLY match the host affine decode
@@ -509,3 +519,52 @@ def test_sample_from_topk_matches_sampler():
     got = sampling.sample_from_topk(vals, idxs, keys, temp)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_matmul_topk_large_k_uses_quant_gemm():
+    """k_top > 128 exceeds the fused head's one-vreg running state: the
+    selection falls back to lax.top_k but the logits GEMM must stay on
+    the quantized kernel path (round-3 review: the earlier fallback
+    densified the whole embedding)."""
+    import jax
+
+    from gemma_tpu.ops.matmul import matmul_topk
+    from gemma_tpu.ops.ops import soft_cap
+
+    rng = np.random.default_rng(44)
+    m, k, n, kt = 4, 256, 1000, 200
+    a, w, _ = _mk("i8", m, k, n, rng)
+    a = a.astype(jnp.bfloat16)
+    got_v, got_i = matmul_topk(a, w, kt, final_cap=30.0)
+    logits = soft_cap(30.0, matmul(a, w, out_dtype=jnp.float32))
+    want_v, want_i = jax.lax.top_k(logits, kt)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_epilogue_unfusable_budget_applies_norm():
+    """2B-nuq4 linear shape (K=9216, N=2304): no codec-legal K block fits
+    the 10 MB VMEM budget (nuq4 needs bk % 2048 == 0), so the epilogue
+    must be applied via XLA AFTER the kernel — never silently dropped,
+    and never re-promoted to an over-budget full-K block (round-3 review
+    finding)."""
+    from gemma_tpu.ops.matmul import _legalize_bk, round_up
+    from gemma_tpu.ops.ops import rms_norm
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(45)
+    m, k, n = 16, 9216, 2304
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    pw = jnp.asarray(rng.normal(0, 0.1, (n,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
+    w = synth_quant(rng, n, k, "nuq4")
+    got = matmul(a, w, blocks=(16, 256, 2304), epilogue_norm=pw, add=resid)
+    want = resid + rms_norm(
+        matmul(a, w, blocks=(16, 256, 2304), out_dtype=jnp.float32), pw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    # And the legalizer invariant the shrink loop relies on:
+    assert _legalize_bk("nuq4", 2048, k) == 2048
+    assert _legalize_bk("nuq4", 1024, k) == round_up(k, 256)

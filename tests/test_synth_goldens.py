@@ -34,7 +34,9 @@ GOLDEN_PATH = pathlib.Path(__file__).parent / "goldens" / "synth_2b_shaped.json"
 PROMPTS = [
     [2, 45, 871, 19, 203, 5, 77],
     [2, 1024, 333],
-    [2, 7, 7, 7, 512, 90, 1500, 64, 12],
+    # (last token 13, not 12: the 12-variant's first decode step is a
+    # 3e-4 near-tie — vacuous margin pin, flip-prone transcript)
+    [2, 7, 7, 7, 512, 90, 1500, 64, 13],
 ]
 
 
@@ -80,8 +82,12 @@ def test_synth_golden_transcripts():
     if os.environ.get("GEMMA_REGEN_GOLDENS"):
         outs, margins = generate_transcripts()
         # Degenerate (repetitive) transcripts would gut the test's power;
-        # refuse to pin them.
+        # refuse to pin them.  Near-tie first-step margins are equally
+        # useless: below the 5e-3 assert atol the margin pin is vacuous,
+        # and the transcript sits one tiny perturbation away from a
+        # confusing argmax flip — pick a different prompt instead.
         assert all(len(set(o)) >= 4 for o in outs), outs
+        assert all(mg >= 2e-2 for mg in margins), margins
         GOLDEN_PATH.parent.mkdir(parents=True, exist_ok=True)
         GOLDEN_PATH.write_text(json.dumps(
             {"prompts": PROMPTS, "outputs": outs, "margins": margins},

@@ -189,17 +189,15 @@ def transformer_layer(
     # a still-attendable position of a prompt being admitted, serving.py).
     is_decode = (t == 1 and isinstance(prefix_end, int) and prefix_end == 0)
     if is_decode:
-        # Decode hot path: in-place Pallas row write + fused attention
-        # kernel on TPU (XLA fallback elsewhere) — ops/decode_attention.py.
-        from gemma_tpu.ops.decode_attention import (
-            decode_attention,
-            kv_write_decode,
-        )
+        # Decode hot path: the in-place Pallas row write and the
+        # whole-panel attention run as ONE kernel on TPU (the new row's
+        # scores/V come from VMEM, not the stale panel); XLA fallback
+        # composes write + attend — ops/decode_attention.py.
+        from gemma_tpu.ops.decode_attention import decode_attention_write
 
-        cache = kv_write_decode(cache, layer_idx, positions, k, v,
-                                valid=valid)
-        att_out = decode_attention(cache, layer_idx, q, positions, window,
-                                   att_cap=config.att_cap)
+        att_out, cache = decode_attention_write(
+            cache, layer_idx, q, positions, k, v, window,
+            att_cap=config.att_cap, valid=valid)
     else:
         # Prefill: scatter KV rows, then flash attention (Pallas on TPU,
         # XLA fallback elsewhere) — ops/flash_attention.py.

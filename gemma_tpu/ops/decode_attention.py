@@ -340,6 +340,301 @@ def _decode_att_q_pallas(kv, sc, q, pos, layer_idx: int, seq_len: int,
     )(pos, q, kv, kv, sc, sc)
 
 
+# ---------------------------------------------------------------------------
+# Fused KV write + attention (decode, T == 1): one kernel per layer.
+# ---------------------------------------------------------------------------
+
+
+def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
+                         att_cap: float, s_alloc: int, w: int, quant: bool,
+                         *refs):
+    """Write the new ring row AND attend in ONE program: the row write
+    reuses _kv_write_kernel's sublane-tile read-modify-write, while the
+    score/value contributions of the just-written row come from the NEW
+    K/V held in VMEM (the panel blocks may hold the stale row — any
+    HBM write/read ordering is safe because the kernel never depends on
+    the panel's value at that row).  Halves the per-layer kernel count
+    on the decode hot path (gemma.cc:83-116 runs write+attend in one
+    pass per layer for the same reason)."""
+    if quant:
+        (rows_ref, pos_ref, newsc_ref, q_ref, new_ref, k_ref, v_ref,
+         sck_ref, scv_ref, kvtile_ref, sctile_ref,
+         o_ref, okv_ref, osc_ref) = refs
+    else:
+        (rows_ref, pos_ref, q_ref, new_ref, k_ref, v_ref, kvtile_ref,
+         o_ref, okv_ref) = refs
+        newsc_ref = sck_ref = scv_ref = sctile_ref = osc_ref = None
+    b = pl.program_id(0)
+    row = rows_ref[b]
+
+    # --- in-place row write (the _kv_write_kernel body) ---
+    sub = row % w
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
+    new = new_ref[...][None, :, :, :, None, :]  # [1,1,2,H,1,D]
+    okv_ref[...] = jnp.where(r == sub, new.astype(okv_ref.dtype),
+                             kvtile_ref[...])
+    if quant:
+        s_sc = sctile_ref.shape[-1]
+        lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, s_sc), 1)
+        hit = lane_sc == row
+        for j in range(2):
+            for head in range(h):
+                osc_ref[0, 0, j, head] = jnp.where(
+                    hit, newsc_ref[b, j, head], sctile_ref[0, 0, j, head])
+
+    # --- attention with the new row substituted in-compute ---
+    newest = pos_ref[b]
+    start = jnp.maximum(newest - (window - 1), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
+    key_abs = newest - ((newest % seq_len - s) % seq_len)
+    ok = (key_abs >= start) & (key_abs <= newest) & (s < seq_len)
+    at_row = s == row
+    cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
+        else jnp.bfloat16
+    for head in range(h):
+        qh = q_ref[0, head].astype(cdt)           # [G, D]
+        kh = k_ref[0, 0, 0, head]                  # [S, D] (stale at row)
+        vh = v_ref[0, 0, 0, head]
+        nk = new_ref[0, 0, head].astype(cdt)       # [D]
+        nv = new_ref[0, 1, head].astype(cdt)
+        scores = jax.lax.dot_general(
+            qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+        new_score = jax.lax.dot_general(
+            qh, nk.reshape(1, -1), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, 1]
+        if quant:
+            sck = jnp.where(at_row, newsc_ref[b, 0, head],
+                            sck_ref[0, 0, 0, head])  # [1, S]
+            scores = jnp.where(at_row, new_score, scores) * sck
+        else:
+            scores = jnp.where(at_row, new_score, scores)
+        if att_cap:
+            scores = att_cap * jnp.tanh(scores / att_cap)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / e.sum(axis=-1, keepdims=True)
+        if quant:
+            scv = jnp.where(at_row, newsc_ref[b, 1, head],
+                            scv_ref[0, 0, 0, head])
+            probs = probs * scv
+        # Split the weighted-V sum: panel rows (row's prob zeroed) + the
+        # new row's V scaled by its probability.
+        p_row = jnp.sum(jnp.where(at_row, probs, 0.0), axis=-1,
+                        keepdims=True)  # [G, 1]
+        probs_z = jnp.where(at_row, 0.0, probs)
+        oh = jax.lax.dot_general(
+            probs_z.astype(cdt), vh.astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, D]
+        # Round prob and V to cdt first — the composed kernel's MXU dot
+        # multiplies cdt operands into f32, so the new row's product must
+        # take the same rounding to stay within reorder-only error.
+        oh = oh + (p_row.astype(cdt).astype(jnp.float32)
+                   * nv.reshape(1, -1).astype(jnp.float32))
+        o_ref[0, head * groups : (head + 1) * groups, :] = oh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
+                     "interpret"),
+    donate_argnums=0,
+)
+def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
+                         seq_len: int, window: int, att_cap: float,
+                         interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = q.shape[2]
+    w = _sublane(kv.dtype)
+
+    kernel = functools.partial(
+        _decode_fused_kernel, h, groups, seq_len, window, att_cap,
+        s_alloc, w, False)
+    o, new_pool = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, groups, d),
+                             lambda i, rows, pos: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 2, h, d),
+                             lambda i, rows, pos: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, rows, pos: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, rows, pos: (i, layer_idx, 1, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, rows, pos: (i, layer_idx, 0, 0,
+                                          rows[i] // w, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h * groups, d),
+                             lambda i, rows, pos: (i, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, rows, pos: (i, layer_idx, 0, 0,
+                                          rows[i] // w, 0),
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        ],
+        input_output_aliases={6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rows, pos, q, newkv, kv, kv, kv)
+    return o, new_pool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
+                     "interpret"),
+    donate_argnums=(0, 1),
+)
+def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
+                           layer_idx: int, seq_len: int, window: int,
+                           att_cap: float, interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = q.shape[2]
+    w = _sublane(kv.dtype)
+    s_sc = sc.shape[-1]
+
+    kernel = functools.partial(
+        _decode_fused_kernel, h, groups, seq_len, window, att_cap,
+        s_alloc, w, True)
+    o, new_pool, new_sc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, groups, d),
+                             lambda i, r, p, ns: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 2, h, d),
+                             lambda i, r, p, ns: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, s_alloc, d),
+                    lambda i, r, p, ns: (i, layer_idx, 1, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, 1, s_sc),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, h, 1, s_sc),
+                    lambda i, r, p, ns: (i, layer_idx, 1, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, r[i] // w, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, 1, s_sc),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h * groups, d),
+                             lambda i, r, p, ns: (i, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, 2, h, w, d),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, r[i] // w, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, h, 1, s_sc),
+                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+            jax.ShapeDtypeStruct(sc.shape, sc.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rows, pos, newsc, q, newkv, kv, kv, sc, sc, kv, sc)
+    return o, new_pool, new_sc
+
+
+def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
+                           window: int, att_cap: float = 0.0, valid=None,
+                           use_pallas: bool | None = None,
+                           interpret: bool = False):
+    """KV row write + single-token attention in ONE kernel.
+
+    q: [B, 1, heads, D] (RoPE'd/scaled); k, v: [B, 1, H, D] un-quantized;
+    positions: [B, 1].  Returns (att_out [B, 1, heads, D] f32, cache).
+    Falls back to the composed kv_write_decode + decode_attention pair
+    off-TPU, for lane-unaligned heads, and past the VMEM panel budget
+    (where attention routes through the S-blocked flash kernel)."""
+    pool, idx, ring = cache.pool(layer_idx)
+    if use_pallas is None:
+        use_pallas = _use_pallas() and q.shape[-1] % 128 == 0 \
+            and pool.shape[-1] % 128 == 0
+    if use_pallas:
+        _, _, _, kvh_, s_alloc_, d_ = pool.shape
+        itemsize = jnp.dtype(pool.dtype).itemsize
+        panel = kvh_ * s_alloc_ * d_ * 2 * itemsize * 2
+        if panel > _PANEL_VMEM_BUDGET:
+            use_pallas = False
+    if not use_pallas:
+        cache = kv_write_decode(cache, layer_idx, positions, k, v,
+                                valid=valid)
+        out = decode_attention(cache, layer_idx, q, positions, window,
+                               att_cap=att_cap)
+        return out, cache
+
+    b, t, heads, d = q.shape
+    assert t == 1
+    kv_heads = pool.shape[3]
+    groups = heads // kv_heads
+    rows = (positions[:, 0] % ring).astype(jnp.int32)
+    if valid is not None:
+        rows = jnp.where(valid[:, 0], rows, ring)
+    pos = positions[:, 0].astype(jnp.int32)
+    newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1)  # [B, 2, H, D]
+    qk = q.reshape(b, kv_heads, groups, d)
+    if cache.quantized:
+        from gemma_tpu.ops.kv_quant import quantize_rows
+
+        codes, scale = quantize_rows(newkv)
+        out, new_pool, new_sc = _decode_fused_q_pallas(
+            pool, cache.pool_scale(layer_idx), codes, scale, qk, rows,
+            pos, idx, ring, window, float(att_cap), interpret=interpret)
+        cache = cache._replace_pool(layer_idx, new_pool, new_sc)
+    else:
+        out, new_pool = _decode_fused_pallas(
+            pool, newkv.astype(pool.dtype), qk, rows, pos, idx, ring,
+            window, float(att_cap), interpret=interpret)
+        cache = cache._replace_pool(layer_idx, new_pool)
+    return out.reshape(b, 1, heads, d), cache
+
+
 # Whole-[H, S, D] K/V panels (x2 for double buffering) must fit VMEM; past
 # this the flash kernel's S-blocked online softmax takes over (slower per
 # step at short S, but the only option at long context).

@@ -394,18 +394,16 @@ def _tp_forward_local(
 
         window = config.attention_window_sizes[layer_idx]
         if t == 1:
-            # Decode hot path on local shards: in-place Pallas KV row write
-            # + fused attention kernel (XLA fallback off-TPU) — the same
-            # kernels the single-chip path uses (ops/decode_attention.py).
+            # Decode hot path on local shards: fused in-place KV row
+            # write + whole-panel attention, one kernel — the same as
+            # the single-chip path (ops/decode_attention.py).
             from gemma_tpu.ops.decode_attention import (
-                decode_attention,
-                kv_write_decode,
+                decode_attention_write,
             )
 
-            cache = kv_write_decode(cache, layer_idx, positions, k, v,
-                                    valid=valid)
-            att = decode_attention(cache, layer_idx, q, positions, window,
-                                   att_cap=config.att_cap)
+            att, cache = decode_attention_write(
+                cache, layer_idx, q, positions, k, v, window,
+                att_cap=config.att_cap, valid=valid)
         else:
             from gemma_tpu.ops.flash_attention import flash_prefill_attention
 

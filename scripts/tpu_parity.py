@@ -172,6 +172,22 @@ def main() -> None:
         ok &= check(f"kv_write_decode[{kind}] native vs XLA",
                     c_native.k_layer(0), c_xla.k_layer(0), 1e-6, 1e-6)
 
+        # Fused write+attend (one kernel) vs the composed XLA pair —
+        # covers the aliased tile write racing the panel reads under
+        # native lowering (the value at the written row must come from
+        # VMEM, never the panel).
+        from gemma_tpu.ops.decode_attention import decode_attention_write
+
+        got_f, c_fused = decode_attention_write(
+            cache.copy(), 0, q, p2, k1, v1, SEQ, att_cap=50.0,
+            use_pallas=True)
+        want_f = decode_attention(c_xla, 0, q, p2, SEQ, att_cap=50.0,
+                                  use_pallas=False)
+        ok &= check(f"decode_write_attend[{kind}] native vs XLA",
+                    got_f, want_f, 2e-2, 2e-2)
+        ok &= check(f"decode_write_attend[{kind}] cache rows",
+                    c_fused.k_layer(0), c_xla.k_layer(0), 1e-6, 1e-6)
+
         t = 64
         qp = jnp.asarray(rng.normal(0, 1, (B, t, H, D)).astype(np.float32))
         posp = jnp.tile(jnp.arange(136, 200, dtype=jnp.int32), (B, 1))

@@ -1,0 +1,121 @@
+"""Fused KV-write + decode-attention kernel (ops/decode_attention.py:
+decode_attention_write) vs the composed write-then-attend pair.
+
+The fused kernel substitutes the just-written row's scores and V
+contribution from VMEM instead of re-reading the panel, so the panel's
+stale row value must never matter — these tests pin that for every pool
+kind, across ring wraparound, windowed layers, and valid-masked slots
+(the reference runs write+attend in one pass per layer for the same
+reason, gemma/gemma.cc:83-116).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemma_tpu.models.configs import config_gemma2_2b
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_write,
+    kv_write_decode,
+)
+
+CONFIG = config_gemma2_2b()
+B, SEQ, KVH, H, D = 2, 32, 4, 8, 256
+
+
+def _prefilled(rng, kind, n_pos):
+    cache = KVCache.create(CONFIG, B, SEQ, kind=kind)
+    k = jnp.asarray(rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    pos = jnp.tile(jnp.arange(n_pos, dtype=jnp.int32), (B, 1))
+    return cache.update(0, pos, k, v)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "f32", "i8"])
+@pytest.mark.parametrize("n_pos,window", [(24, SEQ), (40, SEQ), (40, 16)])
+def test_fused_write_attend_matches_composed(kind, n_pos, window):
+    """Fused kernel (interpret) == composed write + attend fallback,
+    including past ring wraparound (n_pos=40 > SEQ=32) and windowed
+    layers; the updated cache pools must be IDENTICAL."""
+    rng = np.random.default_rng(n_pos * 10 + window)
+    cache_f = _prefilled(rng, kind, n_pos)
+    cache_c = cache_f.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+
+    got, cache_f = decode_attention_write(
+        cache_f, 0, q, positions, k, v, window, att_cap=50.0,
+        use_pallas=True, interpret=True)
+    cache_c = kv_write_decode(cache_c, 0, positions, k, v, use_pallas=False)
+    want = decode_attention(cache_c, 0, q, positions, window, att_cap=50.0,
+                            use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cache_f.kv),
+                                  np.asarray(cache_c.kv))
+    if kind == "i8":
+        np.testing.assert_allclose(np.asarray(cache_f.kv_scale),
+                                   np.asarray(cache_c.kv_scale), rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "i8"])
+def test_fused_write_attend_valid_mask(kind):
+    """Masked slots write the garbage row (s == seq_len) and leave every
+    real ring row untouched, exactly like the composed pair."""
+    rng = np.random.default_rng(9)
+    n_pos = 24
+    cache_f = _prefilled(rng, kind, n_pos)
+    cache_c = cache_f.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+    valid = jnp.asarray([[True], [False]])
+
+    got, cache_f = decode_attention_write(
+        cache_f, 0, q, positions, k, v, SEQ, att_cap=50.0, valid=valid,
+        use_pallas=True, interpret=True)
+    cache_c = kv_write_decode(cache_c, 0, positions, k, v, valid=valid,
+                              use_pallas=False)
+    want = decode_attention(cache_c, 0, q, positions, SEQ, att_cap=50.0,
+                            use_pallas=False)
+    # Valid slot matches; the masked slot's output is unspecified but the
+    # CACHE must match (no real row was clobbered).
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want)[0],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(cache_f.kv)[:, :, :, :, :SEQ],
+        np.asarray(cache_c.kv)[:, :, :, :, :SEQ])
+
+
+def test_fused_write_attend_panel_budget_fallback():
+    """Past the VMEM panel budget the fused path must fall back to the
+    composed pair (flash attention) and still return correct results."""
+    import gemma_tpu.ops.decode_attention as da
+
+    rng = np.random.default_rng(11)
+    n_pos = 24
+    cache_f = _prefilled(rng, "bf16", n_pos)
+    cache_c = cache_f.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+
+    old = da._PANEL_VMEM_BUDGET
+    da._PANEL_VMEM_BUDGET = 1  # force the fallback branch
+    try:
+        got, cache_f = decode_attention_write(
+            cache_f, 0, q, positions, k, v, SEQ, att_cap=50.0,
+            use_pallas=True)
+    finally:
+        da._PANEL_VMEM_BUDGET = old
+    cache_c = kv_write_decode(cache_c, 0, positions, k, v, use_pallas=False)
+    want = decode_attention(cache_c, 0, q, positions, SEQ, att_cap=50.0,
+                            use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -57,8 +57,8 @@ def _register(cls):
 class LayerParams:
     """Maps LayerWeightsPtrs (gemma/weights.h:93-269), post-Fixup."""
 
-    qkv1: QuantTensor  # [heads * qkv_dim, model_dim]
-    qkv2: QuantTensor  # [2 * kv_heads * qkv_dim, model_dim]
+    qkv1: QuantTensor | None  # [heads * qkv_dim, model_dim]
+    qkv2: QuantTensor | None  # [2 * kv_heads * qkv_dim, model_dim]
     att_w: QuantTensor  # [model_dim, heads * qkv_dim]
     gating1: QuantTensor  # [ff_hidden, model_dim]
     gating2: QuantTensor  # [ff_hidden, model_dim]
@@ -69,6 +69,11 @@ class LayerParams:
     post_ffw_norm: jnp.ndarray | None
     key_norm: jnp.ndarray | None  # [qkv_dim]
     query_norm: jnp.ndarray | None  # [qkv_dim]
+    # Row-concatenation of qkv1+qkv2 (ops/matmul.py:concat_rows): one
+    # GEMM computes q and kv together.  When set, qkv1/qkv2 are None
+    # (memory: the weights exist once); parallel/tp.py:shard_params
+    # splits it back for head-sharded TP.
+    qkv_cat: QuantTensor | None = None
 
 
 @_register
@@ -152,16 +157,22 @@ def transformer_layer(
 
     # --- attention (attention.cc GemmaAttention) ---
     if fuse:
-        q = matmul(x_flat, layer.qkv1, out_dtype=jnp.float32,
-                   prologue_norm=layer.pre_att_norm)
-        kv = matmul(x_flat, layer.qkv2, out_dtype=jnp.float32,
-                    prologue_norm=layer.pre_att_norm)
+        a_in, pro = x_flat, layer.pre_att_norm
     else:
-        x_norm = ops.rms_norm(x, layer.pre_att_norm).reshape(
-            b * t, model_dim)
-        x_norm_bf = x_norm.astype(jnp.bfloat16)
-        q = matmul(x_norm_bf, layer.qkv1, out_dtype=jnp.float32)
-        kv = matmul(x_norm_bf, layer.qkv2, out_dtype=jnp.float32)
+        a_in = ops.rms_norm(x, layer.pre_att_norm).reshape(
+            b * t, model_dim).astype(jnp.bfloat16)
+        pro = None
+    if layer.qkv_cat is not None:
+        # One GEMM for q and kv (row-concatenated weights).
+        qkv_all = matmul(a_in, layer.qkv_cat, out_dtype=jnp.float32,
+                         prologue_norm=pro)
+        q = qkv_all[:, : heads * qkv_dim]
+        kv = qkv_all[:, heads * qkv_dim:]
+    else:
+        q = matmul(a_in, layer.qkv1, out_dtype=jnp.float32,
+                   prologue_norm=pro)
+        kv = matmul(a_in, layer.qkv2, out_dtype=jnp.float32,
+                    prologue_norm=pro)
     q = q.reshape(b, t, heads, qkv_dim)
     kv = kv.reshape(b, t, kv_heads, 2, qkv_dim)
     k, v = kv[..., 0, :], kv[..., 1, :]
@@ -416,8 +427,14 @@ def _fixup_att_weights(qt: QuantTensor, heads: int, model_dim: int,
     return QuantTensor(qt.kind, (model_dim, heads * qkv_dim), qt.scale, arrays)
 
 
-def load_params(store, kind_override: str | None = None) -> Params:
-    """Build device Params from an io.model_store.ModelStore."""
+def load_params(store, kind_override: str | None = None,
+                fuse_qkv: bool = True) -> Params:
+    """Build device Params from an io.model_store.ModelStore.
+
+    fuse_qkv: row-concatenate each layer's q and kv projections into one
+    QuantTensor (one GEMM per layer instead of two; qkv1/qkv2 become
+    None).  Disable to keep the split layout (e.g. for tools that
+    inspect per-tensor weights)."""
     config: ModelConfig = store.config
     from gemma_tpu.ops.matmul import quant_tensor_from_packed
 
@@ -478,10 +495,16 @@ def load_params(store, kind_override: str | None = None) -> Params:
                 att_w = _fixup_att_weights(att_ein, heads, config.model_dim,
                                            qkv_dim)
 
+        from gemma_tpu.ops.matmul import concat_rows
+
+        cat = concat_rows(q1, q2) if fuse_qkv else None
+        if cat is not None:
+            q1 = q2 = None
         layers.append(
             LayerParams(
                 qkv1=q1,
                 qkv2=q2,
+                qkv_cat=cat,
                 att_w=att_w,
                 gating1=g1,
                 gating2=g2,

@@ -333,8 +333,9 @@ def model_shapes(config, batch_sizes=(16, 256)) -> list[tuple[int, int, int]]:
     for lc in config.layer_configs:
         h, kvh, q, ff = lc.heads, lc.kv_heads, lc.qkv_dim, lc.ff_hidden_dim
         for m in batch_sizes:
-            shapes.add((m, d, h * q))        # qkv1
-            shapes.add((m, d, 2 * kvh * q))  # qkv2
+            shapes.add((m, d, h * q))        # qkv1 (split layout)
+            shapes.add((m, d, 2 * kvh * q))  # qkv2 (split layout / TP)
+            shapes.add((m, d, (h + 2 * kvh) * q))  # fused qkv_cat
             shapes.add((m, h * q, d))        # att_w
             shapes.add((m, d, ff))           # gating1/2
             shapes.add((m, ff, d))           # linear

@@ -257,6 +257,37 @@ def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
     raise ValueError(kind)
 
 
+def concat_rows(*qts: QuantTensor) -> QuantTensor | None:
+    """Row-concatenate same-K/kind/scale QuantTensors into one.
+
+    Every codec's device arrays lead with N (codes, tables, scales,
+    zeropoints, ...), so stacking along axis 0 yields a tensor whose
+    kernel output is exactly the column-concatenation of the parts'
+    outputs — used to fuse the q and kv projections into ONE GEMM per
+    layer (the reference batches consecutive per-layer matmuls the same
+    way, gemma/gemma.cc:83-116).  Returns None when layouts can't merge
+    (kind/K/scale mismatch, re-laid shard tables, per-array row counts
+    that aren't plain N)."""
+    first = qts[0]
+    if any(q is None for q in qts):
+        return None
+    if any(q.kind != first.kind or q.k != first.k
+           or float(q.scale) != float(first.scale) or q.flags
+           for q in qts):
+        return None
+    if any(set(q.arrays) != set(first.arrays) for q in qts):
+        return None
+    arrays = {}
+    for key, a0 in first.arrays.items():
+        parts = [q.arrays[key] for q in qts]
+        if any(p.shape[0] != q.n or p.shape[1:] != a0.shape[1:]
+               or p.dtype != a0.dtype for p, q in zip(parts, qts)):
+            return None
+        arrays[key] = jnp.concatenate(parts, axis=0)
+    n = sum(q.n for q in qts)
+    return QuantTensor(first.kind, (n, first.k), first.scale, arrays)
+
+
 def quant_tensor_i4(values: np.ndarray) -> QuantTensor:
     """Encode an f32 [N, K] matrix into the i4 affine device layout."""
     from gemma_tpu.compression import int4 as int4_codec

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
+from gemma_tpu.models.configs import (LayerAttentionType, ModelConfig,
+                                      PostNormType, PostQKType)
 from gemma_tpu.models.gemma import LayerParams, Params, embed_tokens
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
@@ -80,6 +81,10 @@ def tp_layout(params: Params, config: ModelConfig, tp: int) -> Params:
 
     layers = []
     for lp in params.layers:
+        assert lp.qkv_cat is None, (
+            "fused qkv_cat cannot shard as one tensor (its q and kv row "
+            "groups split along different head counts); shard_params "
+            "splits it back — pass params through shard_params first")
         _check_col_shard(lp.att_w, tp, "att_w")
         _check_col_shard(lp.linear, tp, "linear")
         layers.append(
@@ -152,14 +157,19 @@ def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
     """device_put every leaf with its NamedSharding (weights land already
     sharded — the AllocateAndBindAll analog, gemma/weights.cc:521-547)."""
     tp = mesh.shape["model"]
-    # Col-sharded nuq4 tensors need per-shard-aligned table layouts.
+    # Col-sharded nuq4 tensors need per-shard-aligned table layouts; a
+    # fused qkv_cat (single-device layout) splits back into head-sharded
+    # qkv1/qkv2 — its q and kv row groups shard along DIFFERENT head
+    # counts, so the concatenated rows cannot shard as one tensor.
+    gemma_lcs = [lc for lc in config.layer_configs
+                 if lc.type == LayerAttentionType.GEMMA]
     layers = [
         dataclasses.replace(
-            lp,
+            _split_qkv_cat(lp, lc),
             att_w=_pad_tables_for_col_shard(lp.att_w, tp),
             linear=_pad_tables_for_col_shard(lp.linear, tp),
         )
-        for lp in params.layers
+        for lp, lc in zip(params.layers, gemma_lcs)
     ]
     vit = params.vit
     if vit is not None:
@@ -226,6 +236,21 @@ def _slice_qt(qt: QuantTensor, lo: int, hi: int) -> QuantTensor:
     """Row-slice a QuantTensor along N (every codec's arrays lead with N)."""
     arrays = {k: a[lo:hi] for k, a in qt.arrays.items()}
     return QuantTensor(qt.kind, (hi - lo, qt.k), qt.scale, arrays, qt.flags)
+
+
+def _split_qkv_cat(lp: LayerParams, lc) -> LayerParams:
+    """Undo the single-device qkv row-concat (models/gemma.py:qkv_cat):
+    TP shards q rows by `heads` and kv rows by `kv_heads`, so the fused
+    tensor must split back before layout."""
+    if lp.qkv_cat is None:
+        return lp
+    n1 = lc.heads * lc.qkv_dim
+    return dataclasses.replace(
+        lp,
+        qkv1=_slice_qt(lp.qkv_cat, 0, n1),
+        qkv2=_slice_qt(lp.qkv_cat, n1, lp.qkv_cat.n),
+        qkv_cat=None,
+    )
 
 
 def _ring_allreduce(x: jnp.ndarray, tp: int, axis: str = "model"):

@@ -77,8 +77,12 @@ def synth_quant(
 
 
 def synth_params(config: ModelConfig, kind: str = "sfp",
-                 seed: int | None = 0) -> Params:
-    """Full Params pytree with synthetic weights in the given codec."""
+                 seed: int | None = 0, fuse_qkv: bool = True) -> Params:
+    """Full Params pytree with synthetic weights in the given codec.
+
+    fuse_qkv mirrors load_params: the q and kv projections live as one
+    row-concatenated tensor (qkv_cat) so synthetic benches measure the
+    same single-GEMM layout real checkpoints load into."""
     rng = None if seed is None else np.random.default_rng(seed)
     d = config.model_dim
 
@@ -92,10 +96,20 @@ def synth_params(config: ModelConfig, kind: str = "sfp",
         if lc.type != LayerAttentionType.GEMMA:
             continue
         h, kvh, q, ff = lc.heads, lc.kv_heads, lc.qkv_dim, lc.ff_hidden_dim
+        q1 = synth_quant(rng, h * q, d, kind)
+        q2 = synth_quant(rng, 2 * kvh * q, d, kind)
+        cat = None
+        if fuse_qkv:
+            from gemma_tpu.ops.matmul import concat_rows
+
+            cat = concat_rows(q1, q2)
+            if cat is not None:
+                q1 = q2 = None
         layers.append(
             LayerParams(
-                qkv1=synth_quant(rng, h * q, d, kind),
-                qkv2=synth_quant(rng, 2 * kvh * q, d, kind),
+                qkv1=q1,
+                qkv2=q2,
+                qkv_cat=cat,
                 att_w=synth_quant(rng, d, h * q, kind),
                 gating1=synth_quant(rng, ff, d, kind),
                 gating2=synth_quant(rng, ff, d, kind),

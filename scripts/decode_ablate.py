@@ -122,7 +122,8 @@ def main() -> None:
     from gemma_tpu.utils.synth import synth_params
 
     config = config_gemma2_2b()
-    params = jax.device_put(synth_params(config, kind=args.kind, seed=0))
+    params = jax.device_put(synth_params(config, kind=args.kind, seed=0,
+                                     fuse_qkv=False))
     seq = 1024
     overhead = _dispatch_overhead()
 

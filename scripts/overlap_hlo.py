@@ -40,7 +40,7 @@ def compile_step(ring: bool) -> str:
     mesh = Mesh(np.asarray(topo.devices).reshape(1, 8), ("data", "model"))
     config = _toy_config(model_dim=256, heads=8, kv_heads=8, qkv_dim=128,
                          ff=1024, vocab=512)
-    params = synth_params(config, kind="sfp", seed=0)
+    params = synth_params(config, kind="sfp", seed=0, fuse_qkv=False)
     cache = KVCache.create(config, 8, 64)
     step = build_tp_step(params, config, mesh, return_logits="none",
                          overlap_chunks=4, ring_reduce=ring)

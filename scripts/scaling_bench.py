@@ -73,7 +73,7 @@ def main() -> None:
         print("cpu backend: using a tiny functional-smoke config")
     else:
         config = getattr(C, f"config_{args.model}")()
-    params_host = synth_params(config, kind=args.kind, seed=0)
+    params_host = synth_params(config, kind=args.kind, seed=0, fuse_qkv=False)
     n_dev = len(jax.devices())
 
     sizes = []

@@ -568,3 +568,30 @@ def test_matmul_epilogue_unfusable_budget_applies_norm():
     # And the legalizer invariant the shrink loop relies on:
     assert _legalize_bk("nuq4", 2048, k) == 2048
     assert _legalize_bk("nuq4", 1024, k) == round_up(k, 256)
+
+
+@pytest.mark.parametrize("kind",
+                         ["f32", "bf16", "sfp", "nuq", "nuq4", "i4", "i8"])
+def test_concat_rows_matches_split(kind):
+    """matmul against the row-concatenated tensor == column-concatenation
+    of the split matmuls, for every codec (the fused qkv layout)."""
+    from gemma_tpu.ops.matmul import concat_rows
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(46)
+    m, k = 8, 512
+    a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w1 = synth_quant(rng, 256, k, kind)
+    w2 = synth_quant(rng, 384, k, kind)
+    cat = concat_rows(w1, w2)
+    assert cat is not None and cat.shape == (640, k)
+    got = np.asarray(matmul(a, cat, out_dtype=jnp.float32))
+    want = np.concatenate([np.asarray(matmul(a, w1, out_dtype=jnp.float32)),
+                           np.asarray(matmul(a, w2, out_dtype=jnp.float32))],
+                          axis=1)
+    np.testing.assert_array_equal(got, want)
+    # Mismatched layouts refuse to merge.
+    assert concat_rows(w1, None) is None
+    if kind != "f32":
+        assert concat_rows(w1, synth_quant(rng, 128, k, "f32")) is None

@@ -77,7 +77,11 @@ def test_convert_and_load(tmp_path):
     # qkv1 must decode back to q_proj up to SFP rounding (8-bit float:
     # ~3-6% worst-case relative error).
     q_ref = params["model.layers.0.self_attn.q_proj.weight"].numpy()
-    got = np.asarray(g.params.layers[0].qkv1.dequantize())
+    lp = g.params.layers[0]
+    if lp.qkv_cat is not None:  # fused q+kv layout: q rows lead
+        got = np.asarray(lp.qkv_cat.dequantize())[: q_ref.shape[0]]
+    else:
+        got = np.asarray(lp.qkv1.dequantize())
     assert got.shape == q_ref.shape
     rel = np.abs(got - q_ref) / (np.abs(q_ref) + 0.05)
     assert rel.max() < 0.1

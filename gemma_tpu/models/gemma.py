@@ -180,18 +180,7 @@ def transformer_layer(
     is_global = config.is_global_layer(layer_idx)
     ts = inv_timescale_global if (is_global and inv_timescale_global is not None) \
         else inv_timescale
-
-    # K: optional RMSNorm then RoPE at mul=1 (attention.cc:288-320).
-    if lc.use_qk_norm and layer.key_norm is not None:
-        k = ops.rms_norm(k, layer.key_norm)
-    k = _position_encode(k, positions, ts, 1.0, lc.post_qk)
-
-    # Q: optional RMSNorm then RoPE folded with the query scale
-    # (attention.cc:142-151).
     query_scale = config.query_scale_value()
-    if lc.use_qk_norm and layer.query_norm is not None:
-        q = ops.rms_norm(q, layer.query_norm)
-    q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
 
     window = config.attention_window_sizes[layer_idx]
     # T == 1 with an integer prefix is the decode hot path; a valid mask
@@ -200,20 +189,32 @@ def transformer_layer(
     # a still-attendable position of a prompt being admitted, serving.py).
     is_decode = (t == 1 and isinstance(prefix_end, int) and prefix_end == 0)
     if is_decode:
-        # Decode hot path: the in-place Pallas row write and the
-        # whole-panel attention run as ONE kernel on TPU (the new row's
-        # scores/V come from VMEM, not the stale panel); XLA fallback
-        # composes write + attend — ops/decode_attention.py.
-        from gemma_tpu.ops.decode_attention import decode_attention_write
+        # Decode hot path: QK norms + RoPE, the in-place KV row write
+        # (+ i8 row quantization) and whole-panel attention all run as
+        # ONE kernel on TPU; the XLA fallback composes the same stages —
+        # ops/decode_attention.py.
+        from gemma_tpu.ops.decode_attention import (RopeSpec,
+                                                    decode_attention_write)
 
+        spec = RopeSpec(
+            ts, int(lc.post_qk), query_scale,
+            key_norm=layer.key_norm if lc.use_qk_norm else None,
+            query_norm=layer.query_norm if lc.use_qk_norm else None)
         att_out, cache = decode_attention_write(
             cache, layer_idx, q, positions, k, v, window,
-            att_cap=config.att_cap, valid=valid)
+            att_cap=config.att_cap, valid=valid, rope=spec)
     else:
-        # Prefill: scatter KV rows, then flash attention (Pallas on TPU,
-        # XLA fallback elsewhere) — ops/flash_attention.py.
+        # Prefill: norms + RoPE (attention.cc:142-151, 288-320), scatter
+        # KV rows, then flash attention (Pallas on TPU, XLA fallback
+        # elsewhere) — ops/flash_attention.py.
         from gemma_tpu.ops.flash_attention import flash_prefill_attention
 
+        if lc.use_qk_norm and layer.key_norm is not None:
+            k = ops.rms_norm(k, layer.key_norm)
+        k = _position_encode(k, positions, ts, 1.0, lc.post_qk)
+        if lc.use_qk_norm and layer.query_norm is not None:
+            q = ops.rms_norm(q, layer.query_norm)
+        q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
         cache = cache.update(layer_idx, positions, k, v, valid=valid)
         att_out = flash_prefill_attention(
             cache, layer_idx, q, positions, window,

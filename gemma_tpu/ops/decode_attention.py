@@ -345,45 +345,133 @@ def _decode_att_q_pallas(kv, sc, q, pos, layer_idx: int, seq_len: int,
 # ---------------------------------------------------------------------------
 
 
+def _pe_apply(x, pos, inv_ts, mul: float, mode: int):
+    """In-kernel position encoding — bit-matches ops.rope/half_rope on
+    f32 inputs (same formula, same op order; ops/ops.py:75-111)."""
+    posf = pos.astype(jnp.float32)
+    if mode == 0:  # PostQKType.ROPE: split-halves rotation, mul first
+        half = x.shape[-1] // 2
+        theta = posf * inv_ts  # [half]
+        sin, cos = jnp.sin(theta), jnp.cos(theta)
+        xm = x * jnp.float32(mul)
+        x0, x1 = xm[..., :half], xm[..., half:]
+        return jnp.concatenate([x0 * cos - x1 * sin,
+                                x0 * sin + x1 * cos], axis=-1)
+    # PostQKType.HALF_ROPE: rotate the first half at mul=1, then scale
+    # everything (gemma/attention.cc:89-95).
+    half = x.shape[-1] // 2
+    q = x[..., :half]
+    qh = half // 2
+    theta = posf * inv_ts  # [qh]
+    sin, cos = jnp.sin(theta), jnp.cos(theta)
+    q0, q1 = q[..., :qh], q[..., qh:]
+    rot = jnp.concatenate([q0 * cos - q1 * sin,
+                           q0 * sin + q1 * cos], axis=-1)
+    return jnp.concatenate([rot, x[..., half:]], axis=-1) * jnp.float32(mul)
+
+
+def _krms(x, w):
+    """(1 + w) RMSNorm over the last axis, f32 (ops/ops.py:30-39)."""
+    mul = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + 1e-6)
+    m = x * mul
+    return m + m * w
+
+
 def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
                          att_cap: float, s_alloc: int, w: int, quant: bool,
-                         *refs):
+                         pe: int | None, qscale: float, has_kn: bool,
+                         has_qn: bool, *refs):
     """Write the new ring row AND attend in ONE program: the row write
     reuses _kv_write_kernel's sublane-tile read-modify-write, while the
     score/value contributions of the just-written row come from the NEW
     K/V held in VMEM (the panel blocks may hold the stale row — any
     HBM write/read ordering is safe because the kernel never depends on
-    the panel's value at that row).  Halves the per-layer kernel count
-    on the decode hot path (gemma.cc:83-116 runs write+attend in one
-    pass per layer for the same reason)."""
+    the panel's value at that row).  With pe set, the layer's remaining
+    elementwise stages also run here: optional QK RMSNorms, RoPE of q
+    and the new k (query scale folded), and — for i8 pools — the
+    per-(k/v, head) row quantization.  One kernel per layer replaces
+    write + attend + the rope/norm elementwise kernel (gemma.cc:83-116
+    runs the whole pass per layer for the same reason)."""
+    i = 0
+    rows_ref = refs[i]; i += 1
+    pos_ref = refs[i]; i += 1
+    newsc_ref = None
+    if quant and pe is None:
+        newsc_ref = refs[i]; i += 1  # host-quantized scales
+    q_ref = refs[i]; i += 1
+    new_ref = refs[i]; i += 1
+    its_ref = kn_ref = qn_ref = None
+    if pe is not None:
+        its_ref = refs[i]; i += 1
+        if has_kn:
+            kn_ref = refs[i]; i += 1
+        if has_qn:
+            qn_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    sck_ref = scv_ref = None
     if quant:
-        (rows_ref, pos_ref, newsc_ref, q_ref, new_ref, k_ref, v_ref,
-         sck_ref, scv_ref, kvtile_ref, sctile_ref,
-         o_ref, okv_ref, osc_ref) = refs
-    else:
-        (rows_ref, pos_ref, q_ref, new_ref, k_ref, v_ref, kvtile_ref,
-         o_ref, okv_ref) = refs
-        newsc_ref = sck_ref = scv_ref = sctile_ref = osc_ref = None
+        sck_ref = refs[i]; i += 1
+        scv_ref = refs[i]; i += 1
+    kvtile_ref = refs[i]; i += 1
+    sctile_ref = None
+    if quant:
+        sctile_ref = refs[i]; i += 1
+    o_ref = refs[i]; i += 1
+    okv_ref = refs[i]; i += 1
+    osc_ref = refs[i] if quant else None
+
     b = pl.program_id(0)
     row = rows_ref[b]
+    pos_b = pos_ref[b]
+
+    # --- position-encode (and quantize) the new K/V row ---
+    scale_k = scale_v = None  # [H, 1] f32 when quant
+    if pe is not None:
+        kraw = new_ref[0, 0].astype(jnp.float32)  # [H, D]
+        if has_kn:
+            kraw = _krms(kraw, kn_ref[...][0].astype(jnp.float32))
+        kraw = _pe_apply(kraw, pos_b, its_ref[...][0], 1.0, pe)
+        vraw = new_ref[0, 1].astype(jnp.float32)
+        if quant:
+            # quantize_rows semantics (ops/kv_quant.py:26-37), per head.
+            amax_k = jnp.max(jnp.abs(kraw), axis=-1, keepdims=True)
+            amax_v = jnp.max(jnp.abs(vraw), axis=-1, keepdims=True)
+            scale_k, scale_v = amax_k / 127.0, amax_v / 127.0
+            inv_k = jnp.where(scale_k > 0.0, 1.0 / scale_k, 0.0)
+            inv_v = jnp.where(scale_v > 0.0, 1.0 / scale_v, 0.0)
+            new_k = jnp.rint(kraw * inv_k).astype(jnp.int8)
+            new_v = jnp.rint(vraw * inv_v).astype(jnp.int8)
+        else:
+            new_k = kraw.astype(okv_ref.dtype)
+            new_v = vraw.astype(okv_ref.dtype)
+    else:
+        new_k, new_v = new_ref[0, 0], new_ref[0, 1]
 
     # --- in-place row write (the _kv_write_kernel body) ---
     sub = row % w
     r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
-    new = new_ref[...][None, :, :, :, None, :]  # [1,1,2,H,1,D]
+    # [2, H, D] -> [1, 1, 2, H, 1, D]; okv block is [1, 1, 2, h, w, d].
+    new = jnp.stack([new_k, new_v])[None, None, :, :, None, :]
     okv_ref[...] = jnp.where(r == sub, new.astype(okv_ref.dtype),
                              kvtile_ref[...])
     if quant:
         s_sc = sctile_ref.shape[-1]
         lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, s_sc), 1)
         hit = lane_sc == row
-        for j in range(2):
-            for head in range(h):
-                osc_ref[0, 0, j, head] = jnp.where(
-                    hit, newsc_ref[b, j, head], sctile_ref[0, 0, j, head])
+        for j, sc in ((0, scale_k), (1, scale_v)):
+            if pe is None:
+                for head in range(h):
+                    osc_ref[0, 0, j, head] = jnp.where(
+                        hit, newsc_ref[b, j, head],
+                        sctile_ref[0, 0, j, head])
+            else:
+                for head in range(h):
+                    osc_ref[0, 0, j, head] = jnp.where(
+                        hit, sc[head, 0], sctile_ref[0, 0, j, head])
 
     # --- attention with the new row substituted in-compute ---
-    newest = pos_ref[b]
+    newest = pos_b
     start = jnp.maximum(newest - (window - 1), 0)
     s = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
     key_abs = newest - ((newest % seq_len - s) % seq_len)
@@ -392,11 +480,21 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
     cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
         else jnp.bfloat16
     for head in range(h):
-        qh = q_ref[0, head].astype(cdt)           # [G, D]
-        kh = k_ref[0, 0, 0, head]                  # [S, D] (stale at row)
+        qh = q_ref[0, head].astype(jnp.float32)  # [G, D]
+        if pe is not None:
+            if has_qn:
+                qh = _krms(qh, qn_ref[...][0].astype(jnp.float32))
+            qh = _pe_apply(qh, pos_b, its_ref[...][0], qscale, pe)
+        qh = qh.astype(cdt)
+        kh = k_ref[0, 0, 0, head]        # [S, D] (stale at row)
         vh = v_ref[0, 0, 0, head]
-        nk = new_ref[0, 0, head].astype(cdt)       # [D]
-        nv = new_ref[0, 1, head].astype(cdt)
+        nk = new_k[head].astype(cdt)     # [D]
+        nv = new_v[head].astype(cdt)
+        if quant:
+            nsk = scale_k[head, 0] if pe is not None \
+                else newsc_ref[b, 0, head]
+            nsv = scale_v[head, 0] if pe is not None \
+                else newsc_ref[b, 1, head]
         scores = jax.lax.dot_general(
             qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -406,8 +504,7 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
             preferred_element_type=jnp.float32,
         )  # [G, 1]
         if quant:
-            sck = jnp.where(at_row, newsc_ref[b, 0, head],
-                            sck_ref[0, 0, 0, head])  # [1, S]
+            sck = jnp.where(at_row, nsk, sck_ref[0, 0, 0, head])  # [1, S]
             scores = jnp.where(at_row, new_score, scores) * sck
         else:
             scores = jnp.where(at_row, new_score, scores)
@@ -418,8 +515,7 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
         e = jnp.exp(scores - m)
         probs = e / e.sum(axis=-1, keepdims=True)
         if quant:
-            scv = jnp.where(at_row, newsc_ref[b, 1, head],
-                            scv_ref[0, 0, 0, head])
+            scv = jnp.where(at_row, nsv, scv_ref[0, 0, 0, head])
             probs = probs * scv
         # Split the weighted-V sum: panel rows (row's prob zeroed) + the
         # new row's V scaled by its probability.
@@ -439,14 +535,28 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
         o_ref[0, head * groups : (head + 1) * groups, :] = oh
 
 
+def _rope_specs(pe, rope_arrays, n_scalar):
+    """(in_specs, inputs) for the optional in-kernel rope operands."""
+    if pe is None:
+        return [], []
+    def spec(a):
+        shape = (1, a.shape[-1])
+        return pl.BlockSpec(shape, lambda *_: (0, 0))
+    specs = [spec(a) for a in rope_arrays]
+    inputs = [a.reshape(1, -1) for a in rope_arrays]
+    return specs, inputs
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
-                     "interpret"),
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap", "pe",
+                     "qscale", "interpret"),
     donate_argnums=0,
 )
 def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
                          seq_len: int, window: int, att_cap: float,
+                         pe: int | None = None, qscale: float = 1.0,
+                         inv_ts=None, knorm=None, qnorm=None,
                          interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
@@ -454,7 +564,10 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
 
     kernel = functools.partial(
         _decode_fused_kernel, h, groups, seq_len, window, att_cap,
-        s_alloc, w, False)
+        s_alloc, w, False, pe, qscale, knorm is not None,
+        qnorm is not None)
+    rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays, 2)
     o, new_pool = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -465,6 +578,7 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
                              lambda i, rows, pos: (i, 0, 0, 0)),
                 pl.BlockSpec((1, 2, h, d),
                              lambda i, rows, pos: (i, 0, 0, 0)),
+            ] + rope_specs + [
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
                     lambda i, rows, pos: (i, layer_idx, 0, 0, 0, 0),
@@ -493,24 +607,26 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
             jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
         ],
-        input_output_aliases={6: 1},
+        input_output_aliases={6 + len(rope_inputs): 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(rows, pos, q, newkv, kv, kv, kv)
+    )(rows, pos, q, newkv, *rope_inputs, kv, kv, kv)
     return o, new_pool
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
-                     "interpret"),
+    static_argnames=("layer_idx", "seq_len", "window", "att_cap", "pe",
+                     "qscale", "interpret"),
     donate_argnums=(0, 1),
 )
 def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
                            layer_idx: int, seq_len: int, window: int,
-                           att_cap: float, interpret: bool = False):
+                           att_cap: float, pe: int | None = None,
+                           qscale: float = 1.0, inv_ts=None, knorm=None,
+                           qnorm=None, interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
     w = _sublane(kv.dtype)
@@ -518,52 +634,58 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
 
     kernel = functools.partial(
         _decode_fused_kernel, h, groups, seq_len, window, att_cap,
-        s_alloc, w, True)
+        s_alloc, w, True, pe, qscale, knorm is not None, qnorm is not None)
+    rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays, 3)
+    n_prefetch = 2 if pe is not None else 3
+    scalar_inputs = (rows, pos) if pe is not None else (rows, pos, newsc)
+    nsp = n_prefetch
+
     o, new_pool, new_sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=nsp,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, h, groups, d),
-                             lambda i, r, p, ns: (i, 0, 0, 0)),
+                             lambda i, *pf: (i, 0, 0, 0)),
                 pl.BlockSpec((1, 2, h, d),
-                             lambda i, r, p, ns: (i, 0, 0, 0)),
+                             lambda i, *pf: (i, 0, 0, 0)),
+            ] + rope_specs + [
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, r, p, ns: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, r, p, ns: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, r[i] // w, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, pf[0][i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, s_sc),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
                 ),
             ],
             out_specs=[
-                pl.BlockSpec((1, h * groups, d),
-                             lambda i, r, p, ns: (i, 0, 0)),
+                pl.BlockSpec((1, h * groups, d), lambda i, *pf: (i, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, r[i] // w, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, pf[0][i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, s_sc),
-                    lambda i, r, p, ns: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
                 ),
             ],
         ),
@@ -572,23 +694,57 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
             jax.ShapeDtypeStruct(sc.shape, sc.dtype),
         ],
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases={
+            nsp + 2 + len(rope_inputs) + 4: 1,
+            nsp + 2 + len(rope_inputs) + 5: 2,
+        },
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(rows, pos, newsc, q, newkv, kv, kv, sc, sc, kv, sc)
+    )(*scalar_inputs, q, newkv, *rope_inputs, kv, kv, sc, sc, kv, sc)
     return o, new_pool, new_sc
+
+
+class RopeSpec:
+    """Static + array bundle for in-kernel position encoding.
+
+    post_qk: PostQKType int; query_scale folded into q's rotation;
+    key_norm/query_norm: optional (1+w) RMSNorm weights [D] applied
+    before RoPE (Gemma3, attention.cc:142-151, 288-320)."""
+
+    def __init__(self, inv_timescale, post_qk: int, query_scale: float,
+                 key_norm=None, query_norm=None):
+        self.inv_timescale = inv_timescale
+        self.post_qk = int(post_qk)
+        self.query_scale = float(query_scale)
+        self.key_norm = key_norm
+        self.query_norm = query_norm
+
+    def apply_host(self, q, k):
+        """The composed-ops equivalent (fallback paths)."""
+        from gemma_tpu.ops import ops as _ops
+
+        pe = _ops.half_rope if self.post_qk == 1 else _ops.rope
+        if self.key_norm is not None:
+            k = _ops.rms_norm(k, self.key_norm)
+        if self.query_norm is not None:
+            q = _ops.rms_norm(q, self.query_norm)
+        # positions enter via the caller (broadcast per [B, T] row).
+        return q, k, pe
 
 
 def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
                            window: int, att_cap: float = 0.0, valid=None,
+                           rope: RopeSpec | None = None,
                            use_pallas: bool | None = None,
                            interpret: bool = False):
     """KV row write + single-token attention in ONE kernel.
 
-    q: [B, 1, heads, D] (RoPE'd/scaled); k, v: [B, 1, H, D] un-quantized;
-    positions: [B, 1].  Returns (att_out [B, 1, heads, D] f32, cache).
+    q: [B, 1, heads, D]; k, v: [B, 1, H, D]; positions: [B, 1].  With
+    `rope`, q and k arrive RAW and the QK norms + RoPE (+ i8 row
+    quantization) run inside the kernel too; otherwise they must be
+    pre-encoded.  Returns (att_out [B, 1, heads, D] f32, cache).
     Falls back to the composed kv_write_decode + decode_attention pair
     off-TPU, for lane-unaligned heads, and past the VMEM panel budget
     (where attention routes through the S-blocked flash kernel)."""
@@ -603,6 +759,11 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         if panel > _PANEL_VMEM_BUDGET:
             use_pallas = False
     if not use_pallas:
+        if rope is not None:
+            q, k, pe = rope.apply_host(q, k)
+            k = pe(k, positions[..., None], rope.inv_timescale, 1.0)
+            q = pe(q, positions[..., None], rope.inv_timescale,
+                   rope.query_scale)
         cache = kv_write_decode(cache, layer_idx, positions, k, v,
                                 valid=valid)
         out = decode_attention(cache, layer_idx, q, positions, window,
@@ -619,18 +780,32 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
     pos = positions[:, 0].astype(jnp.int32)
     newkv = jnp.stack([k[:, 0], v[:, 0]], axis=1)  # [B, 2, H, D]
     qk = q.reshape(b, kv_heads, groups, d)
+    pe = None if rope is None else rope.post_qk
+    qscale = 1.0 if rope is None else rope.query_scale
+    rkw = {} if rope is None else dict(
+        inv_ts=rope.inv_timescale.astype(jnp.float32),
+        knorm=None if rope.key_norm is None
+        else rope.key_norm.astype(jnp.float32),
+        qnorm=None if rope.query_norm is None
+        else rope.query_norm.astype(jnp.float32),
+    )
     if cache.quantized:
-        from gemma_tpu.ops.kv_quant import quantize_rows
+        if rope is None:
+            from gemma_tpu.ops.kv_quant import quantize_rows
 
-        codes, scale = quantize_rows(newkv)
+            codes, scale = quantize_rows(newkv)
+        else:
+            codes, scale = newkv, jnp.zeros((b, 2, kv_heads), jnp.float32)
         out, new_pool, new_sc = _decode_fused_q_pallas(
             pool, cache.pool_scale(layer_idx), codes, scale, qk, rows,
-            pos, idx, ring, window, float(att_cap), interpret=interpret)
+            pos, idx, ring, window, float(att_cap), pe=pe, qscale=qscale,
+            interpret=interpret, **rkw)
         cache = cache._replace_pool(layer_idx, new_pool, new_sc)
     else:
+        nk = newkv if rope is not None else newkv.astype(pool.dtype)
         out, new_pool = _decode_fused_pallas(
-            pool, newkv.astype(pool.dtype), qk, rows, pos, idx, ring,
-            window, float(att_cap), interpret=interpret)
+            pool, nk, qk, rows, pos, idx, ring, window, float(att_cap),
+            pe=pe, qscale=qscale, interpret=interpret, **rkw)
         cache = cache._replace_pool(layer_idx, new_pool)
     return out.reshape(b, 1, heads, d), cache
 

@@ -410,26 +410,30 @@ def _tp_forward_local(
         kv_proj = kv_proj.reshape(b, t, kvh_l, 2, qkv_dim)
         k, v = kv_proj[..., 0, :], kv_proj[..., 1, :]
 
-        if lci.use_qk_norm and layer.key_norm is not None:
-            k = ops.rms_norm(k, layer.key_norm)
-        k = _pos_encode(k, positions, ts, 1.0, lci.post_qk)
-        if lci.use_qk_norm and layer.query_norm is not None:
-            q = ops.rms_norm(q, layer.query_norm)
-        q = _pos_encode(q, positions, ts, query_scale, lci.post_qk)
-
         window = config.attention_window_sizes[layer_idx]
         if t == 1:
-            # Decode hot path on local shards: fused in-place KV row
-            # write + whole-panel attention, one kernel — the same as
-            # the single-chip path (ops/decode_attention.py).
+            # Decode hot path on local shards: QK norms + RoPE + fused
+            # in-place KV row write + whole-panel attention, one kernel —
+            # the same as the single-chip path (ops/decode_attention.py).
             from gemma_tpu.ops.decode_attention import (
+                RopeSpec,
                 decode_attention_write,
             )
 
+            spec = RopeSpec(
+                ts, int(lci.post_qk), query_scale,
+                key_norm=layer.key_norm if lci.use_qk_norm else None,
+                query_norm=layer.query_norm if lci.use_qk_norm else None)
             att, cache = decode_attention_write(
                 cache, layer_idx, q, positions, k, v, window,
-                att_cap=config.att_cap, valid=valid)
+                att_cap=config.att_cap, valid=valid, rope=spec)
         else:
+            if lci.use_qk_norm and layer.key_norm is not None:
+                k = ops.rms_norm(k, layer.key_norm)
+            k = _pos_encode(k, positions, ts, 1.0, lci.post_qk)
+            if lci.use_qk_norm and layer.query_norm is not None:
+                q = ops.rms_norm(q, layer.query_norm)
+            q = _pos_encode(q, positions, ts, query_scale, lci.post_qk)
             from gemma_tpu.ops.flash_attention import flash_prefill_attention
 
             cache = cache.update(layer_idx, positions, k, v, valid=valid)

@@ -188,6 +188,32 @@ def main() -> None:
         ok &= check(f"decode_write_attend[{kind}] cache rows",
                     c_fused.k_layer(0), c_xla.k_layer(0), 1e-6, 1e-6)
 
+        # Rope-in-kernel variant (the shipped decode path): QK RMSNorm +
+        # HALF_ROPE + (i8) row quantization inside the kernel vs the
+        # composed ops pipeline.  Mosaic transcendentals (sin/cos) may
+        # differ from XLA's by ulps — tolerances cover that, not bugs.
+        from gemma_tpu.ops.decode_attention import RopeSpec
+        from gemma_tpu.ops.ops import create_inv_timescale, half_rope
+        from gemma_tpu.ops.ops import rms_norm as _rms
+
+        inv_ts = jnp.asarray(create_inv_timescale(D, True))
+        nw_k = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+        nw_q = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+        spec = RopeSpec(inv_ts, 1, 0.0625, key_norm=nw_k, query_norm=nw_q)
+        got_r, c_rope = decode_attention_write(
+            cache.copy(), 0, q, p2, k1, v1, SEQ, att_cap=50.0, rope=spec,
+            use_pallas=True)
+        kr = half_rope(_rms(k1, nw_k), p2[..., None], inv_ts, 1.0)
+        qr = half_rope(_rms(q, nw_q), p2[..., None], inv_ts, 0.0625)
+        c_want = kv_write_decode(cache.copy(), 0, p2, kr, v1,
+                                 use_pallas=False)
+        want_r = decode_attention(c_want, 0, qr, p2, SEQ, att_cap=50.0,
+                                  use_pallas=False)
+        ok &= check(f"decode_write_attend_rope[{kind}] native vs XLA",
+                    got_r, want_r, 2e-2, 2e-2)
+        ok &= check(f"decode_write_attend_rope[{kind}] cache rows",
+                    c_rope.k_layer(0), c_want.k_layer(0), 1e-4, 1e-4)
+
         t = 64
         qp = jnp.asarray(rng.normal(0, 1, (B, t, H, D)).astype(np.float32))
         posp = jnp.tile(jnp.arange(136, 200, dtype=jnp.int32), (B, 1))

@@ -119,3 +119,63 @@ def test_fused_write_attend_panel_budget_fallback():
                             use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "f32", "i8"])
+@pytest.mark.parametrize("post_qk,with_norms", [(0, False), (1, False),
+                                                (1, True)])
+def test_fused_rope_in_kernel_matches_composed(kind, post_qk, with_norms):
+    """rope=RopeSpec path: QK norms + RoPE (+ i8 row quantization) inside
+    the kernel must match the composed ops + write + attend pipeline,
+    including the written cache rows (codes AND scales identical)."""
+    from gemma_tpu.ops import ops
+    from gemma_tpu.ops.decode_attention import RopeSpec
+
+    rng = np.random.default_rng(21 + post_qk)
+    n_pos = 24
+    cache_f = _prefilled(rng, kind, n_pos)
+    cache_c = cache_f.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+    inv_ts = jnp.asarray(ops.create_inv_timescale(D, post_qk == 1))
+    qscale = 0.0883883476  # 1/sqrt(128), arbitrary non-1 scale
+    kn = qn = None
+    if with_norms:
+        kn = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+        qn = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+    spec = RopeSpec(inv_ts, post_qk, qscale, key_norm=kn, query_norm=qn)
+
+    got, cache_f = decode_attention_write(
+        cache_f, 0, q, positions, k, v, SEQ, att_cap=50.0, rope=spec,
+        use_pallas=True, interpret=True)
+
+    # Composed: norms -> rope -> write -> attend (the fallback pipeline).
+    pe = ops.half_rope if post_qk == 1 else ops.rope
+    kc, qc = k, q
+    if with_norms:
+        kc = ops.rms_norm(kc, kn)
+        qc = ops.rms_norm(qc, qn)
+    kc = pe(kc, positions[..., None], inv_ts, 1.0)
+    qc = pe(qc, positions[..., None], inv_ts, qscale)
+    cache_c = kv_write_decode(cache_c, 0, positions, kc, v,
+                              use_pallas=False)
+    want = decode_attention(cache_c, 0, qc, positions, SEQ, att_cap=50.0,
+                            use_pallas=False)
+    if kind == "f32":
+        # In-kernel rope vs XLA rope differ by fma-contraction order:
+        # f32 rows may carry a 1-ulp delta (bf16/i8 round it away).
+        np.testing.assert_allclose(np.asarray(cache_f.kv),
+                                   np.asarray(cache_c.kv),
+                                   rtol=0, atol=3e-7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        return
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cache_f.kv),
+                                  np.asarray(cache_c.kv))
+    if kind == "i8":
+        np.testing.assert_allclose(np.asarray(cache_f.kv_scale),
+                                   np.asarray(cache_c.kv_scale), rtol=1e-6)

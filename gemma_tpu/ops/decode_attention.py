@@ -746,12 +746,18 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
     quantization) run inside the kernel too; otherwise they must be
     pre-encoded.  Returns (att_out [B, 1, heads, D] f32, cache).
     Falls back to the composed kv_write_decode + decode_attention pair
-    off-TPU, for lane-unaligned heads, and past the VMEM panel budget
-    (where attention routes through the S-blocked flash kernel)."""
+    off-TPU, for lane-unaligned heads, past the VMEM panel budget (where
+    attention routes through the S-blocked flash kernel), and when
+    GEMMA_FUSED_DECODE=0 (hardware A/B escape hatch: the fused kernel
+    passes the pool as several aliased operand views, which interpret
+    mode cannot performance-validate)."""
+    import os
+
     pool, idx, ring = cache.pool(layer_idx)
     if use_pallas is None:
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0 \
-            and pool.shape[-1] % 128 == 0
+            and pool.shape[-1] % 128 == 0 \
+            and os.environ.get("GEMMA_FUSED_DECODE", "1") != "0"
     if use_pallas:
         _, _, _, kvh_, s_alloc_, d_ = pool.shape
         itemsize = jnp.dtype(pool.dtype).itemsize

@@ -8,7 +8,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3hw
-stages=${@:-"parity tune27b tune9b tune256 ablate bench"}
+stages=${@:-"parity tune27b tune9b tune256 ablate fusedab bench"}
 
 run() {  # run <name> <timeout-s> <cmd...>
     local name=$1 tmo=$2; shift 2
@@ -34,6 +34,10 @@ for s in $stages; do
         run tune256 10800 scripts/tune.py gemma2_2b --kinds i8,sfp,i4 --ms 256 ;;
     ablate)
         run ablate 3600 scripts/decode_ablate.py --kind i8 ;;
+    fusedab)
+        # A/B the fused write+attend+rope kernel vs composed kernels
+        # (GEMMA_FUSED_DECODE=0): headline decode only.
+        GEMMA_FUSED_DECODE=0 run bench_nofuse 5400 bench.py ;;
     bench)
         run bench 10800 bench.py ;;
     *) echo "unknown stage $s"; exit 2 ;;

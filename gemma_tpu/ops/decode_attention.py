@@ -734,6 +734,66 @@ class RopeSpec:
         return q, k, pe
 
 
+_FUSED_PROBED: dict = {}
+
+
+def _sds(a):
+    return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+
+def _probe_fused_compile(cache, layer_idx: int, q, rope) -> bool:
+    """One-time AOT compile check of the fused write+attend kernel for
+    this (pool, q, rope) signature; False -> composed fallback."""
+    pool, idx, ring = cache.pool(layer_idx)
+    b, t, heads, d = q.shape
+    kv_heads = pool.shape[3]
+    pe = None if rope is None else rope.post_qk
+    qscale = 1.0 if rope is None else rope.query_scale
+    key = (cache.quantized, pool.shape, str(pool.dtype), q.shape, ring,
+           pe, qscale,
+           rope is not None and rope.key_norm is not None,
+           rope is not None and rope.query_norm is not None)
+    hit = _FUSED_PROBED.get(key)
+    if hit is not None:
+        return hit
+    try:
+        qk = jax.ShapeDtypeStruct((b, kv_heads, heads // kv_heads, d),
+                                  jnp.float32)
+        rows = jax.ShapeDtypeStruct((b,), jnp.int32)
+        pos = jax.ShapeDtypeStruct((b,), jnp.int32)
+        rkw = {}
+        if rope is not None:
+            rkw["inv_ts"] = jax.ShapeDtypeStruct(
+                (rope.inv_timescale.shape[-1],), jnp.float32)
+            if rope.key_norm is not None:
+                rkw["knorm"] = jax.ShapeDtypeStruct((d,), jnp.float32)
+            if rope.query_norm is not None:
+                rkw["qnorm"] = jax.ShapeDtypeStruct((d,), jnp.float32)
+        if cache.quantized:
+            sc = cache.pool_scale(layer_idx)
+            newkv = jax.ShapeDtypeStruct(
+                (b, 2, kv_heads, d),
+                jnp.float32 if rope is not None else jnp.int8)
+            newsc = jax.ShapeDtypeStruct((b, 2, kv_heads), jnp.float32)
+            _decode_fused_q_pallas.lower(
+                _sds(pool), _sds(sc), newkv, newsc, qk, rows, pos,
+                idx, ring, ring, 50.0, pe=pe, qscale=qscale,
+                interpret=False, **rkw).compile()
+        else:
+            newkv = jax.ShapeDtypeStruct(
+                (b, 2, kv_heads, d),
+                jnp.float32 if rope is not None else pool.dtype)
+            _decode_fused_pallas.lower(
+                _sds(pool), newkv, qk, rows, pos, idx, ring, ring,
+                50.0, pe=pe, qscale=qscale, interpret=False,
+                **rkw).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — any compile failure means fallback
+        ok = False
+    _FUSED_PROBED[key] = ok
+    return ok
+
+
 def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
                            window: int, att_cap: float = 0.0, valid=None,
                            rope: RopeSpec | None = None,
@@ -758,6 +818,13 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0 \
             and pool.shape[-1] % 128 == 0 \
             and os.environ.get("GEMMA_FUSED_DECODE", "1") != "0"
+    if use_pallas and not interpret and _use_pallas():
+        # The in-jit call cannot catch a Mosaic compile error (it would
+        # fail the ENCLOSING executable with no fallback) — AOT-probe the
+        # fused kernel once per signature; failures route to the
+        # hardware-proven composed pair (same pattern as
+        # ops/matmul.py:_probe_gated_compile).
+        use_pallas = _probe_fused_compile(cache, layer_idx, q, rope)
     if use_pallas:
         _, _, _, kvh_, s_alloc_, d_ = pool.shape
         itemsize = jnp.dtype(pool.dtype).itemsize

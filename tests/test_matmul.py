@@ -595,3 +595,94 @@ def test_concat_rows_matches_split(kind):
     assert concat_rows(w1, None) is None
     if kind != "f32":
         assert concat_rows(w1, synth_quant(rng, 128, k, "f32")) is None
+
+
+def test_probe_failure_degrades_fused_stages(monkeypatch):
+    """A native compile-probe failure (e.g. a Mosaic VMEM bust on real
+    hardware) must degrade every fused stage to the composed path with
+    matching results — never fail the enclosing step's compile."""
+    import jax
+
+    from gemma_tpu.ops import matmul as mm
+    from gemma_tpu.ops.ops import rms_norm, soft_cap
+    from gemma_tpu.ops.sampling import top1
+    from gemma_tpu.utils.synth import synth_quant
+
+    rng = np.random.default_rng(23)
+    m, k, n = 8, 512, 384
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32))
+    pw = jnp.asarray(rng.normal(0, 0.1, (n,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(0, 1, (m, n)).astype(np.float32))
+    w = synth_quant(rng, n, k, "i8")
+    blocks = (8, 128, 512)
+
+    want = np.asarray(matmul(x, w, blocks=blocks, prologue_norm=nw,
+                             epilogue_norm=pw, add=resid))
+    monkeypatch.setattr(mm, "_probe_compile", lambda *a, **kw: False)
+    got = np.asarray(matmul(x, w, blocks=blocks, prologue_norm=nw,
+                            epilogue_norm=pw, add=resid))
+    np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-6)
+
+    # Fused logits heads: probe failure keeps the quantized GEMM, only
+    # the selection falls back to XLA — same tokens, same probs/values.
+    xb = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    vocab_w = synth_quant(rng, 640, k, "i8")
+    tok_f, prob_f = top1(soft_cap(30.0, matmul(
+        rms_norm(xb, nw).astype(jnp.bfloat16), vocab_w,
+        out_dtype=jnp.float32)))
+    tok, prob = mm.matmul_top1(xb, vocab_w, final_cap=30.0,
+                               prologue_norm=nw)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok_f))
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_f),
+                               rtol=1e-6)
+    vals_f = jax.lax.top_k(soft_cap(30.0, matmul(
+        rms_norm(xb, nw).astype(jnp.bfloat16), vocab_w,
+        out_dtype=jnp.float32)), 4)
+    vals, idxs = mm.matmul_topk(xb, vocab_w, 4, final_cap=30.0,
+                                prologue_norm=nw)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(vals_f[1]))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_f[0]),
+                               rtol=1e-6)
+
+
+def test_probe_compile_fails_for_backend_reasons_only():
+    """On the CPU backend the native probe must return False because the
+    kernel cannot LOWER there — while the identical call traces fine in
+    interpret mode.  If tracing itself broke (argument-plumbing bug in
+    _probe_compile), the fused paths would silently vanish on TPU too."""
+    import jax
+
+    from gemma_tpu.ops import matmul as mm
+    from gemma_tpu.utils.synth import synth_quant
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-only negative probe")
+    rng = np.random.default_rng(29)
+    w = synth_quant(rng, 256, 512, "i8")
+    x = jnp.zeros((8, 512), jnp.bfloat16)
+    nw = jnp.ones((512,), jnp.float32)
+    mm._PROBED.clear()
+    mm._PROBE_ERRORS.clear()
+    ok = mm._probe_compile(
+        mm._matmul_pallas, x, w.arrays, w.kind, w.shape, float(w.scale),
+        8, 128, 512, out_dtype=jnp.float32, interpret=False,
+        norm_w=nw, post_w=None, add2d=None)
+    assert ok is False
+    # the same signature must TRACE (abstract eval) without error:
+    out = jax.eval_shape(lambda: mm._matmul_pallas(
+        x, w.arrays, w.kind, w.shape, float(w.scale), 8, 128, 512,
+        out_dtype=jnp.float32, interpret=True, norm_w=nw))
+    assert out.shape == (8, 256)
+    # and the recorded failure must be a lowering error, not a TypeError
+    # from argument plumbing.
+    (err,) = mm._PROBE_ERRORS.values()
+    assert not err.startswith("TypeError"), err
+    # cached: second call is a dict hit
+    assert mm._probe_compile(
+        mm._matmul_pallas, x, w.arrays, w.kind, w.shape, float(w.scale),
+        8, 128, 512, out_dtype=jnp.float32, interpret=False,
+        norm_w=nw, post_w=None, add2d=None) is False
+    # _skip (interpret mode) bypasses entirely
+    assert mm._probe_compile(object(), _skip=True) is True

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gemma_tpu.ops.matmul import CODE_BYTES, PACKED_BYTES
 from gemma_tpu.utils.basics import round_up
 
 _CACHE_PATH = os.environ.get(
@@ -65,8 +66,7 @@ def _key(m: int, k: int, n: int, kind: str) -> str:
 
 def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]:
     """Analytic candidate tiles sized to VMEM (the MMCandidates analog)."""
-    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
-               "i4": 0.5, "i8": 1}[kind]
+    b_bytes = CODE_BYTES[kind]
     # NUQ/I4/I8 need bk to cover whole groups (and i4/nuq4 whole 256-wide
     # nibble packing blocks).
     k_align = 256 if kind in ("nuq4", "i4") else 128
@@ -143,8 +143,7 @@ def _default_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
                 bk_full = cand
                 break
             cand -= k_align
-    b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
-               "i4": 0.5, "i8": 1}[kind]
+    b_bytes = CODE_BYTES[kind]
     # bm=128 fills the MXU; larger only shaves grid overhead but doubles
     # the A tile and accumulator.
     bm = min(128, round_up(m, 8))
@@ -296,8 +295,7 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
         # produce garbage (the round-2 "69us" nuq4 reading; CLAUDE.md).
         # approx uses the codec's packed width — the old bf16-based
         # estimate gave 0.5-byte codecs 4x too few reps.
-        bpe = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625,
-               "i4": 0.5625, "i8": 1}[kind]
+        bpe = PACKED_BYTES[kind]
         approx = max(n * k * bpe / 600e9, 5e-6)
         reps = max(48, min(1024, int(0.12 / approx)))
     overhead = _dispatch_overhead()
@@ -309,9 +307,7 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
         except Exception:  # noqa: BLE001 - invalid tile for this backend
             continue
         if verbose:
-            gbs = n * k * {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1,
-                           "nuq4": 0.5625, "i4": 0.5625, "i8": 1}[kind] \
-                / dt_s / 1e9
+            gbs = n * k * PACKED_BYTES[kind] / dt_s / 1e9
             print(f"  {blocks}: {dt_s * 1e6:.1f} us, {gbs:.0f} GB/s")
         if dt_s < best_t:
             best, best_t = blocks, dt_s

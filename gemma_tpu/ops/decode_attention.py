@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gemma_tpu.ops.matmul import _sds
+
 NEG_INF = -2.3819763e38  # matches ops/attention.py masking
 
 
@@ -535,7 +537,7 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
         o_ref[0, head * groups : (head + 1) * groups, :] = oh
 
 
-def _rope_specs(pe, rope_arrays, n_scalar):
+def _rope_specs(pe, rope_arrays):
     """(in_specs, inputs) for the optional in-kernel rope operands."""
     if pe is None:
         return [], []
@@ -567,7 +569,7 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
         s_alloc, w, False, pe, qscale, knorm is not None,
         qnorm is not None)
     rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
-    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays, 2)
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
     o, new_pool = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -636,7 +638,7 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
         _decode_fused_kernel, h, groups, seq_len, window, att_cap,
         s_alloc, w, True, pe, qscale, knorm is not None, qnorm is not None)
     rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
-    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays, 3)
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
     n_prefetch = 2 if pe is not None else 3
     scalar_inputs = (rows, pos) if pe is not None else (rows, pos, newsc)
     nsp = n_prefetch
@@ -737,20 +739,22 @@ class RopeSpec:
 _FUSED_PROBED: dict = {}
 
 
-def _sds(a):
-    return jax.ShapeDtypeStruct(a.shape, a.dtype)
-
-
-def _probe_fused_compile(cache, layer_idx: int, q, rope) -> bool:
+def _probe_fused_compile(cache, layer_idx: int, q, rope,
+                         window: int, att_cap: float) -> bool:
     """One-time AOT compile check of the fused write+attend kernel for
-    this (pool, q, rope) signature; False -> composed fallback."""
+    this (pool, q, rope, window, att_cap) signature; False -> composed
+    fallback.  window/att_cap are static kernel parameters (they change
+    the traced masking/softcap program), so the probe must lower the
+    exact variant the decode step will trace."""
     pool, idx, ring = cache.pool(layer_idx)
     b, t, heads, d = q.shape
     kv_heads = pool.shape[3]
     pe = None if rope is None else rope.post_qk
     qscale = 1.0 if rope is None else rope.query_scale
+    window = int(window)
+    att_cap = float(att_cap)
     key = (cache.quantized, pool.shape, str(pool.dtype), q.shape, ring,
-           pe, qscale,
+           window, att_cap, pe, qscale,
            rope is not None and rope.key_norm is not None,
            rope is not None and rope.query_norm is not None)
     hit = _FUSED_PROBED.get(key)
@@ -777,15 +781,15 @@ def _probe_fused_compile(cache, layer_idx: int, q, rope) -> bool:
             newsc = jax.ShapeDtypeStruct((b, 2, kv_heads), jnp.float32)
             _decode_fused_q_pallas.lower(
                 _sds(pool), _sds(sc), newkv, newsc, qk, rows, pos,
-                idx, ring, ring, 50.0, pe=pe, qscale=qscale,
+                idx, ring, window, att_cap, pe=pe, qscale=qscale,
                 interpret=False, **rkw).compile()
         else:
             newkv = jax.ShapeDtypeStruct(
                 (b, 2, kv_heads, d),
                 jnp.float32 if rope is not None else pool.dtype)
             _decode_fused_pallas.lower(
-                _sds(pool), newkv, qk, rows, pos, idx, ring, ring,
-                50.0, pe=pe, qscale=qscale, interpret=False,
+                _sds(pool), newkv, qk, rows, pos, idx, ring, window,
+                att_cap, pe=pe, qscale=qscale, interpret=False,
                 **rkw).compile()
         ok = True
     except Exception:  # noqa: BLE001 — any compile failure means fallback
@@ -824,7 +828,8 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         # fused kernel once per signature; failures route to the
         # hardware-proven composed pair (same pattern as
         # ops/matmul.py:_probe_gated_compile).
-        use_pallas = _probe_fused_compile(cache, layer_idx, q, rope)
+        use_pallas = _probe_fused_compile(cache, layer_idx, q, rope,
+                                          window, att_cap)
     if use_pallas:
         _, _, _, kvh_, s_alloc_, d_ = pool.shape
         itemsize = jnp.dtype(pool.dtype).itemsize

@@ -60,6 +60,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gemma_tpu.utils.basics import cdiv, round_up
 
+# Per-element width of the CODES array on device (VMEM block sizing).
+CODE_BYTES = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
+              "i4": 0.5, "i8": 1}
+# Per-element width INCLUDING side info (nuq4 SFP tables, i4/i8 group
+# scales) — the HBM bytes actually read per weight element (GB/s-eff
+# normalization and reps scaling).
+PACKED_BYTES = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625,
+                "i4": 0.5625, "i8": 1}
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
@@ -839,19 +848,26 @@ def matmul(
         # silently restore the exact over-budget block the loop escaped.
         bm, _, bk = blocks
         bn = round_up(w.n, 128)
-        b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
-                   "i4": 0.5, "i8": 1}[w.kind]
+        b_bytes = CODE_BYTES[w.kind]
         k_align = {"nuq4": 2048, "i4": 256}.get(w.kind, 128)
 
         def fits(bk_):
             return (2 * (bm * bk_ * 4 + bn * bk_ * b_bytes) + bn * bk_ * 2
                     + 2 * bm * bn * 4) <= 10 * 1024 * 1024
 
-        bk = _legalize_bk(w.kind, min(bk, round_up(w.k, k_align)), w.k)
-        while bk > k_align and not fits(bk):
-            bk = max(k_align, (bk // 2) // k_align * k_align)
-        bk = _legalize_bk(w.kind, bk, w.k)
-        if fits(bk):
+        kp_full = round_up(w.k, k_align)
+        start = _legalize_bk(w.kind, min(bk, kp_full), w.k)
+        # Candidate bks must DIVIDE the padded K (else _pad2 materializes
+        # padded HBM copies of the weights — CLAUDE.md) and survive
+        # _legalize_bk unchanged (else it would promote back to the
+        # over-budget full-K block).  Scan legal divisors descending.
+        cands = [b for b in range(k_align, kp_full + 1, k_align)
+                 if kp_full % b == 0
+                 and _legalize_bk(w.kind, b, w.k) == b]
+        cands = sorted({b for b in cands if b <= start} | {start},
+                       reverse=True)
+        bk = next((b for b in cands if fits(b)), None)
+        if bk is not None:
             blocks = (bm, bn, bk)
             post_w = epilogue_norm
         # else: no legal K-blocking fits VMEM — epilogue via XLA below
@@ -1499,8 +1515,7 @@ def gated_ffn(
         # would itself break Mosaic tiling for the nibble codecs).
         bm, bn, bk = blocks
         bkl = _legalize_bk(w1.kind, min(bk, round_up(w1.k, 128)), w1.k)
-        b_bytes = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5,
-                   "i4": 0.5, "i8": 1}[w1.kind]
+        b_bytes = CODE_BYTES[w1.kind]
         per_elem = 0 if w1.kind in ("f32", "bf16") else 8
 
         def est_vmem(bn_):

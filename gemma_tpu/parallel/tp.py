@@ -555,28 +555,48 @@ def build_tp_step(
     overlap_chunks: int | None = None,
     collectives: bool = True,
     ring_reduce: bool = False,
+    top_k_n: int = 0,
+    with_mask: bool = False,
 ):
     """Jitted sharded step: (params, tokens, positions, valid, prefix_end,
-    cache) -> (logits, cache) — or just the cache when return_logits ==
-    "none" (prefill).  `params`/`cache` must be sharded with
-    `shard_params`/`shard_cache`; tokens/positions/valid are [B, T] with B
-    divisible by the data axis.  `seq_len` is unused (the cache pytree
-    carries its ring lengths) and kept for API compatibility.
+    cache[, image_embeddings, image_slot_mask][, logits_mask]) ->
+    (logits, cache) — or just the cache when return_logits == "none"
+    (prefill), ((tok, prob), cache) for "top1", and ((vals, idxs), cache)
+    for "topk" (requires top_k_n >= 1; pass with_mask=True to append a
+    replicated allowed-token mask [V] input).  `params`/`cache` must be
+    sharded with `shard_params`/`shard_cache`; tokens/positions/valid are
+    [B, T] with B divisible by the data axis.  `seq_len` is unused (the
+    cache pytree carries its ring lengths) and kept for API compatibility.
     """
     del seq_len
+    if return_logits == "topk" and top_k_n < 1:
+        raise ValueError("return_logits='topk' requires top_k_n >= 1")
     tp = mesh.shape["model"]
     specs = tp_layout(params, config, tp)
     if overlap_chunks is None:
         # Prefill (big M) is where collective/compute overlap pays; decode
         # psums are latency-bound and chunking would multiply that latency.
         overlap_chunks = 4 if return_logits == "none" else 1
-    body = functools.partial(
+    base = functools.partial(
         _tp_forward_local, config=config, tp=tp,
         return_logits=return_logits, overlap_chunks=overlap_chunks,
         collectives=collectives, ring_reduce=ring_reduce,
+        top_k_n=top_k_n,
     )
+    if with_mask:
+        def body(params, tokens, positions, valid, prefix_end, cache,
+                 *rest):
+            *imgs, mask = rest
+            return base(params, tokens, positions, valid, prefix_end,
+                        cache, *imgs, logits_mask=mask)
+    else:
+        body = base
     if return_logits == "none":
         out_specs: Any = CACHE_SPEC
+    elif return_logits == "top1":
+        out_specs = ((P("data"), P("data")), CACHE_SPEC)
+    elif return_logits == "topk":
+        out_specs = ((P("data", None), P("data", None)), CACHE_SPEC)
     else:
         out_specs = (P("data", None), CACHE_SPEC)
     in_specs = [
@@ -589,6 +609,8 @@ def build_tp_step(
     ]
     if with_image:
         in_specs += [P("data", None, None), P("data", None)]
+    if with_mask:
+        in_specs += [P()]  # allowed-token mask [V], replicated
     f = jax.shard_map(
         body,
         mesh=mesh,

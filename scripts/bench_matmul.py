@@ -22,8 +22,7 @@ DEFAULT_SHAPES = [  # Gemma2-2B decode/prefill shapes (vocab 256000)
     (256, 2304, 9216), (256, 9216, 2304),
 ]
 
-BYTES = {"f32": 4, "bf16": 2, "sfp": 1, "nuq": 1, "nuq4": 0.5625,
-         "i4": 0.5625, "i8": 1}
+from gemma_tpu.ops.matmul import PACKED_BYTES as BYTES  # noqa: E402
 
 
 def main() -> None:

@@ -111,7 +111,10 @@ def main() -> None:
     p.add_argument("--kind", default="i8")
     p.add_argument("--kv_kind", default="i8")
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--steps", type=int, default=64)
+    # >=100 scan iterations per dispatch and min-of-4 dispatches: at 64x2
+    # the ~24 ms tunnel dispatch variance (~0.4 ms/step) is the same
+    # order as the per-stage deltas this script exists to resolve.
+    p.add_argument("--steps", type=int, default=192)
     p.add_argument("--variants", default="full,no_logits,no_attn,"
                                          "no_element,gemms_only")
     args = p.parse_args()
@@ -148,7 +151,7 @@ def main() -> None:
         tok, _ = run(params, cache)
         np.asarray(tok)
         dts = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.monotonic()
             tok, _ = run(params, cache)
             np.asarray(tok)

@@ -8,7 +8,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3hw
-stages=${@:-"parity tune27b tune9b tune256 ablate fusedab bench"}
+stages=${@:-"parity tune16 tune27b tune9b tune256 ablate fusedab bench"}
 
 run() {  # run <name> <timeout-s> <cmd...>
     local name=$1 tmo=$2; shift 2
@@ -23,9 +23,15 @@ for s in $stages; do
         # Native-lowering parity for every round-3 kernel (fused
         # prologue/epilogue, top1 head, i4) — abort on failure.
         run parity 3600 scripts/tpu_parity.py || { echo "PARITY FAILED"; exit 1; } ;;
+    tune16)
+        # 2B decode shapes at M-bucket 16: the round-2 cache predates the
+        # fused qkv_cat GEMM (16, 2304, 4096) and the i4 codec, so the
+        # headline bench would otherwise run them on default tiles.
+        run tune16 7200 scripts/tune.py gemma2_2b --kinds i8,i4,nuq4 --ms 16 ;;
     tune27b)
         # Re-sweep 27B decode shapes: the first sweep ran with the old
         # reps formula (4x too few loop iters for 0.5-byte codecs).
+        # --ms 8 covers the b4 bench too (_m_bucket rounds 4 -> 8).
         run tune27b 10800 scripts/tune.py gemma2_27b --kinds i4,nuq4 --ms 8 ;;
     tune9b)
         run tune9b 5400 scripts/tune.py gemma2_9b --kinds i8,i4 --ms 8 ;;

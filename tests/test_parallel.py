@@ -274,3 +274,56 @@ def test_sharded_tables_dequantize_raises():
     assert "sharded_tables" in padded.flags
     with pt.raises(ValueError, match="column shard"):
         padded.dequantize()
+
+
+def test_tp_step_fused_heads():
+    """build_tp_step return_logits='top1'/'topk' (+mask) vs single-device.
+
+    The fused heads were previously reachable only through
+    build_tp_decode_chunk; the public step builder must plumb the same
+    out_specs / top_k_n / mask inputs."""
+    config = tp_config()
+    params = synth_params(config, kind="f32", seed=5)
+    batch, t, seq_len = 4, 6, 32
+
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, config.vocab_size, (batch, t)).astype(np.int32)
+    positions = np.tile(np.arange(t, dtype=np.int32), (batch, 1))
+    valid = np.ones((batch, t), bool)
+    pe = np.zeros((batch,), np.int32)
+    mask = np.zeros((config.vocab_size,), bool)
+    mask[:37] = True  # shard 0 only: exercises fully-masked-shard merges
+
+    cache = KVCache.create(config, batch, seq_len)
+    (ref_tok, ref_prob), _ = forward(
+        params, jnp.asarray(tokens), jnp.asarray(positions), cache, config,
+        return_logits="top1", valid=jnp.asarray(valid))
+    cache = KVCache.create(config, batch, seq_len)
+    (ref_vals, ref_idx), _ = forward(
+        params, jnp.asarray(tokens), jnp.asarray(positions), cache, config,
+        return_logits="topk", top_k_n=4, valid=jnp.asarray(valid),
+        top1_mask=jnp.asarray(mask))
+
+    mesh = make_mesh(8, config)
+    p_sh = shard_params(params, config, mesh)
+
+    top1 = build_tp_step(p_sh, config, mesh, return_logits="top1")
+    kv = shard_cache(KVCache.create(config, batch, seq_len), mesh)
+    (tok, prob), _ = top1(p_sh, jnp.asarray(tokens), jnp.asarray(positions),
+                          jnp.asarray(valid), jnp.asarray(pe), kv)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(ref_prob),
+                               rtol=2e-4, atol=2e-5)
+
+    topk = build_tp_step(p_sh, config, mesh, return_logits="topk",
+                         top_k_n=4, with_mask=True)
+    kv = shard_cache(KVCache.create(config, batch, seq_len), mesh)
+    (vals, idxs), _ = topk(p_sh, jnp.asarray(tokens), jnp.asarray(positions),
+                           jnp.asarray(valid), jnp.asarray(pe), kv,
+                           jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               rtol=2e-4, atol=2e-4)
+
+    with pytest.raises(ValueError):
+        build_tp_step(p_sh, config, mesh, return_logits="topk")

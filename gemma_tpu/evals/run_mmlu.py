@@ -73,24 +73,25 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     add_args(parser, LoaderArgs, InferenceArgs)
     parser.add_argument(
-        "--input", default="", help="Path of mmlu.json (default: the "
-        "gemma.cpp copy at <repo>/gemma/evals/mmlu.json if present)")
+        "--input", default="", help="Path of an mmlu.json in the reference "
+        "schema (default: the vendored structured subset, "
+        "gemma_tpu/evals/data/mmlu_struct.json)")
+    parser.add_argument(
+        "--max_samples", type=int, default=0,
+        help="Evaluate only the first N samples (0 = all)")
     ns = parser.parse_args(argv)
-    if not ns.input:
-        # The dataset is upstream eval DATA (not vendored here); point at
-        # a checked-out gemma.cpp copy via GEMMA_CPP_DIR or /root/reference.
-        import os
-
-        for root in (os.environ.get("GEMMA_CPP_DIR", ""), "/root/reference"):
-            cand = os.path.join(root, "gemma", "evals", "mmlu.json")
-            if root and os.path.exists(cand):
-                ns.input = cand
-                break
-        if not ns.input:
-            parser.error("--input is required (no gemma.cpp mmlu.json found)")
     gemma = load_gemma(extract(ns, LoaderArgs), extract(ns, InferenceArgs))
-    with open(ns.input) as f:
-        samples = json.load(f)["samples"]
+    if ns.input:
+        with open(ns.input) as f:
+            samples = json.load(f)["samples"]
+    else:
+        # Vendored data: same 83-question subset and byte-identical 5-shot
+        # prompts as the reference's evals/mmlu.json (see mmlu_data.py).
+        from gemma_tpu.evals.mmlu_data import load_samples
+
+        samples = load_samples()
+    if ns.max_samples:
+        samples = samples[: ns.max_samples]
     acc = run(GemmaEnv(gemma), samples, verbosity=ns.verbosity)
     print(f"MMLU accuracy: {acc:.4f} over {len(samples)} questions")
 

@@ -9,9 +9,14 @@ equivalent here is a `jax.sharding.Mesh` over ICI with explicit
   - `tp.py`:    Megatron-style tensor parallelism for the transformer —
                 weights row/col-sharded over the "model" axis, two psums per
                 layer, vocab-sharded embedding; batch sharded over "data".
+  - `ring_attention.py`: sequence-parallel blockwise attention — KV
+                shards rotate around the ICI ring on `ppermute` while
+                each chip folds the resident block into an online
+                softmax (long-context prefill past one chip's HBM).
 """
 
 from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
+from gemma_tpu.parallel.ring_attention import build_ring_attention
 from gemma_tpu.parallel.tp import (
     build_tp_decode_chunk,
     build_tp_step,
@@ -21,6 +26,7 @@ from gemma_tpu.parallel.tp import (
 )
 
 __all__ = [
+    "build_ring_attention",
     "make_mesh",
     "pick_mesh_shape",
     "build_tp_decode_chunk",

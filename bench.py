@@ -215,6 +215,11 @@ def main() -> None:
     try_extra("gemma2_2b_sfp_prefill_b4x256", lambda: {
         "tok_s": measure_prefill(cfg2b(), "sfp", 4, 256 if on_tpu else 32,
                                  seq, reps=16 if on_tpu else 2)["tok_s"]})
+    # i8 prefill (VERDICT r2 #4): at M=256*4 rows the GEMMs are
+    # MXU-bound, but i8's cheaper decode leaves more VPU headroom.
+    try_extra("gemma2_2b_i8_prefill_b4x256", lambda: {
+        "tok_s": measure_prefill(cfg2b(), "i8", 4, 256 if on_tpu else 32,
+                                 seq, reps=16 if on_tpu else 2)["tok_s"]})
     if on_tpu:
         from gemma_tpu.models.configs import config_gemma2_27b
 

@@ -13,10 +13,18 @@ equivalent here is a `jax.sharding.Mesh` over ICI with explicit
                 shards rotate around the ICI ring on `ppermute` while
                 each chip folds the resident block into an online
                 softmax (long-context prefill past one chip's HBM).
+  - `sp.py`:    sequence-parallel prefill — the full layer stack with T
+                sharded over the mesh (weights replicated, ring
+                attention the only communication).
+  - `cp.py`:    context-parallel decode — global KV pools sharded over
+                the ring dim, partial-softmax attention merged with
+                pmax/psum, masked owner-shard row writes.
 """
 
+from gemma_tpu.parallel.cp import build_cp_decode, shard_cache_cp
 from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
 from gemma_tpu.parallel.ring_attention import build_ring_attention
+from gemma_tpu.parallel.sp import build_sp_prefill, scatter_into_cache
 from gemma_tpu.parallel.tp import (
     build_tp_decode_chunk,
     build_tp_step,
@@ -27,6 +35,10 @@ from gemma_tpu.parallel.tp import (
 
 __all__ = [
     "build_ring_attention",
+    "build_sp_prefill",
+    "scatter_into_cache",
+    "build_cp_decode",
+    "shard_cache_cp",
     "make_mesh",
     "pick_mesh_shape",
     "build_tp_decode_chunk",

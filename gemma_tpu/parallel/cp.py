@@ -271,6 +271,40 @@ def _cp_decode_local(params: Params, tokens, positions, cache: KVCache, *,
     return logits, kv, kv_local, kv_scale, kv_local_scale
 
 
+def build_cp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
+                          k: int, axis: str = "model"):
+    """Greedy-decode k tokens inside ONE executable (the CP analog of the
+    engine's decode_chunk: the KV pools round-trip device memory once per
+    chunk and the host dispatches once per k steps).
+
+    Jitted (params, tokens [B,1], positions [B,1], cache) ->
+    (tokens [B, k] i32, cache).  The step's argmax feeds the next step;
+    every shard computes the identical replicated argmax, so the scan
+    needs no token collective."""
+    specs = cache_specs(cache, axis)
+
+    def body(params, tokens, positions, cache):
+        def step(carry, _):
+            tok, pos, c = carry
+            logits, kv, kv_local, ks, kls = _cp_decode_local(
+                params, tok, pos, c, config=config, axis=axis)
+            c = dataclasses.replace(c, kv=kv, kv_local=kv_local,
+                                    kv_scale=ks, kv_local_scale=kls)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, pos + 1, c), nxt[:, 0]
+
+        (_, _, cache), toks = jax.lax.scan(
+            step, (tokens, positions, cache), None, length=k)
+        return toks.swapaxes(0, 1), cache
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), specs),
+        out_specs=(P(), specs),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
 def build_cp_decode(config: ModelConfig, mesh, cache: KVCache,
                     axis: str = "model"):
     """Jitted (params, tokens [B,1], positions [B,1], cache) ->

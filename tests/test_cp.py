@@ -223,3 +223,37 @@ def test_sp_prefill_to_cp_decode():
     logits, _ = step(params, tok, pos, sharded)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_cp_decode_chunk_matches_steps():
+    """The k-step greedy scan reproduces k sequential argmax-fed CP
+    steps exactly (same math, one executable)."""
+    from gemma_tpu.parallel.cp import build_cp_decode_chunk
+
+    config = cp_config((16, SEQ + 1))
+    params = synth_params(config, kind="f32", seed=17)
+    batch, t, k = 2, 32, 4
+    cache = _prefilled(config, params, batch, t, "bf16", seed=17)
+    tok, pos = _step_inputs(batch, t)
+
+    mesh = make_mesh(8)
+    step = build_cp_decode(config, mesh, cache)
+    chunk = build_cp_decode_chunk(config, mesh, cache, k)
+
+    want_toks = []
+    c = shard_cache_cp(cache.copy(), mesh)
+    cur_tok, cur_pos = tok, pos
+    for _ in range(k):
+        logits, c = step(params, cur_tok, cur_pos, c)
+        cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        want_toks.append(np.asarray(cur_tok[:, 0]))
+        cur_pos = cur_pos + 1
+    want = np.stack(want_toks, axis=1)
+
+    sharded = shard_cache_cp(cache.copy(), mesh)
+    got, c2 = chunk(params, tok, pos, sharded)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    np.testing.assert_allclose(np.asarray(c2.kv), np.asarray(c.kv),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2.kv_local),
+                               np.asarray(c.kv_local), rtol=1e-6, atol=1e-6)

@@ -257,3 +257,16 @@ def test_cp_decode_chunk_matches_steps():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c2.kv_local),
                                np.asarray(c.kv_local), rtol=1e-6, atol=1e-6)
+
+
+def test_shard_cache_cp_rejects_indivisible_ring():
+    """The guard fires before any device_put when the padded ring does
+    not divide over the axis (48 rows over 7 chips)."""
+    config = cp_config((SEQ + 1, SEQ + 1))
+    cache = KVCache.create(config, 2, 38)  # round_up(39, 16) = 48 rows
+
+    class SevenChipAxis:
+        shape = {"model": 7}
+
+    with pytest.raises(ValueError, match="does not divide"):
+        shard_cache_cp(cache, SevenChipAxis())

@@ -82,8 +82,7 @@ def main() -> None:
     print(f"[2/3] scatter into the KV cache, global pools sharded over "
           f"the ring dim")
     cache = scatter_into_cache(
-        KVCache.create(config, batch, args.seq_len, local_slack=t),
-        ks, vs, positions)
+        KVCache.create(config, batch, args.seq_len), ks, vs, positions)
     cache = shard_cache_cp(cache, mesh)
 
     print(f"[3/3] CP decode: {args.steps} greedy steps, "

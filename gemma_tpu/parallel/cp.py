@@ -38,27 +38,29 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
-from gemma_tpu.models.gemma import (Params, _absolute_pe, _position_encode,
-                                    embed_tokens)
+from gemma_tpu.models.configs import ModelConfig
+from gemma_tpu.models.gemma import Params
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
-from gemma_tpu.ops.attention import NEG_INF, attention_mask
-from gemma_tpu.ops.matmul import gated_ffn, matmul
+from gemma_tpu.ops.attention import NEG_INF
+from gemma_tpu.ops.matmul import matmul
 from gemma_tpu.ops.ops import soft_cap
+from gemma_tpu.parallel.stack import stack_forward
 
 
 def cache_specs(cache: KVCache, axis: str = "model"):
     """A KVCache-shaped pytree of PartitionSpecs: global pools sharded on
-    their ring dim, local pools replicated."""
+    their ring dim, local pools replicated.  Specs are assigned
+    positionally from KVCache.tree_flatten's fixed child order
+    [kv, kv_local, kv_scale, kv_local_scale]."""
     kv_spec = P(None, None, None, None, axis, None)
     sc_spec = P(None, None, None, None, None, axis)
-    leaves, treedef = jax.tree_util.tree_flatten(cache)
-    spec_by_id = {id(cache.kv): kv_spec}
-    if cache.kv_scale is not None:
-        spec_by_id[id(cache.kv_scale)] = sc_spec
-    specs = [spec_by_id.get(id(leaf), P()) for leaf in leaves]
-    return jax.tree_util.tree_unflatten(treedef, specs)
+    children = [cache.kv, cache.kv_local, cache.kv_scale,
+                cache.kv_local_scale]
+    order = [kv_spec, P(), sc_spec, P()]
+    leaves = [s for c, s in zip(children, order) if c is not None]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(cache), leaves)
 
 
 def shard_cache_cp(cache: KVCache, mesh, axis: str = "model") -> KVCache:
@@ -79,6 +81,23 @@ def shard_cache_cp(cache: KVCache, mesh, axis: str = "model") -> KVCache:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, cache_specs(cache, axis))
+
+
+def _local_mask(positions, ring, window, base, s_loc):
+    """attention_mask (ops/attention.py) restricted to rows
+    [base, base + s_loc): O(s_loc) per chip instead of building the full
+    O(ring) mask and slicing.  positions: [B, T]; prefix_end is 0 (decode).
+    Rows past the ring (padding/garbage) are invalid."""
+    s_idx = base + jnp.arange(s_loc, dtype=jnp.int32)          # [s_loc]
+    q = positions.astype(jnp.int32)                            # [B, T]
+    newest = jnp.max(q, axis=-1)                               # [B]
+    key_abs = newest[:, None] - (
+        (newest[:, None] % ring - s_idx[None, :]) % ring)      # [B, s_loc]
+    start = q - jnp.minimum(jnp.int32(window - 1), q)          # [B, T]
+    ok = ((key_abs[:, None, :] >= start[..., None])
+          & (key_abs[:, None, :] <= q[..., None])
+          & (key_abs[:, None, :] >= 0))
+    return ok & (s_idx < ring)[None, None, :]
 
 
 def _attend_merge(q, k_loc, v_loc, mask_loc, att_cap, axis,
@@ -158,9 +177,9 @@ def _cp_decode_local(params: Params, tokens, positions, cache: KVCache, *,
     sharded over `axis`.  tokens/positions: [B, 1]; returns (logits
     [B, vocab] f32 replicated, updated cache leaves)."""
     b, t = tokens.shape
-    model_dim = config.model_dim
-    lc = config.layer_configs[0]
-    n = jax.lax.psum(1, axis)
+    # _write_rows writes exactly one row per query and the mask treats
+    # max(positions) as newest — T > 1 would silently attend stale rows.
+    assert t == 1, f"CP decode is one token per query per step, got T={t}"
     me = jax.lax.axis_index(axis)
     quant = cache.quantized
 
@@ -168,46 +187,8 @@ def _cp_decode_local(params: Params, tokens, positions, cache: KVCache, *,
     kv_scale, kv_local_scale = cache.kv_scale, cache.kv_local_scale
     s_loc = kv.shape[4]
 
-    x = embed_tokens(params.embedding, tokens, model_dim)
-    if config.absolute_pe:
-        x = x + _absolute_pe(positions, model_dim)
-
-    half_rope = lc.post_qk == PostQKType.HALF_ROPE
-    inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
-    from gemma_tpu.models.configs import is_vlm
-
-    inv_ts_g = None
-    if is_vlm(config.model):  # attention.cc:85-88
-        inv_ts_g = jnp.asarray(ops.create_inv_timescale(
-            lc.qkv_dim, half_rope, base_frequency=1e6))
-    query_scale = config.query_scale_value()
-
-    for layer_idx, layer in enumerate(params.layers):
-        lci = config.layer_configs[layer_idx]
-        is_global = config.is_global_layer(layer_idx)
-        ts = inv_ts_g if (is_global and inv_ts_g is not None) else inv_ts
-        heads, kv_heads, qkv_dim = lci.heads, lci.kv_heads, lci.qkv_dim
-
-        a_in = ops.rms_norm(x, layer.pre_att_norm).reshape(
-            b * t, model_dim).astype(jnp.bfloat16)
-        if layer.qkv_cat is not None:
-            qkv_all = matmul(a_in, layer.qkv_cat, out_dtype=jnp.float32)
-            q = qkv_all[:, : heads * qkv_dim]
-            kv_proj = qkv_all[:, heads * qkv_dim:]
-        else:
-            q = matmul(a_in, layer.qkv1, out_dtype=jnp.float32)
-            kv_proj = matmul(a_in, layer.qkv2, out_dtype=jnp.float32)
-        q = q.reshape(b, t, heads, qkv_dim)
-        kv_proj = kv_proj.reshape(b, t, kv_heads, 2, qkv_dim)
-        k, v = kv_proj[..., 0, :], kv_proj[..., 1, :]
-
-        if lci.use_qk_norm and layer.key_norm is not None:
-            k = ops.rms_norm(k, layer.key_norm)
-        k = _position_encode(k, positions, ts, 1.0, lci.post_qk)
-        if lci.use_qk_norm and layer.query_norm is not None:
-            q = ops.rms_norm(q, layer.query_norm)
-        q = _position_encode(q, positions, ts, query_scale, lci.post_qk)
-
+    def attend(layer_idx, lci, q, k, v):
+        nonlocal kv, kv_local, kv_scale, kv_local_scale
         local_pool, idx = (False, layer_idx)
         if cache.layer_map:
             local_pool, idx = cache.layer_map[layer_idx]
@@ -222,48 +203,26 @@ def _cp_decode_local(params: Params, tokens, positions, cache: KVCache, *,
                 kv_local, kv_local_scale, idx, rows,
                 jnp.ones((b,), bool), k, v, quant)
             s_all = kv_local.shape[4]
-            mask = attention_mask(positions, ring, window, 0)
-            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_all - ring)))
-            att = _attend_merge(
+            mask = _local_mask(positions, ring, window, 0, s_all)
+            return _attend_merge(
                 q, kv_local[:, idx, 0], kv_local[:, idx, 1], mask,
                 config.att_cap, None,
                 scale_k=(kv_local_scale[:, idx, 0, :, 0] if quant else None),
                 scale_v=(kv_local_scale[:, idx, 1, :, 0] if quant else None))
-        else:
-            rows_local = rows - me * s_loc
-            ok = (rows_local >= 0) & (rows_local < s_loc)
-            kv, kv_scale = _write_rows(
-                kv, kv_scale, idx, rows_local, ok, k, v, quant)
-            # Global [B, T, s_alloc] mask -> this shard's column block.
-            mask = attention_mask(positions, ring, window, 0)
-            mask = jnp.pad(
-                mask, ((0, 0), (0, 0), (0, n * s_loc - ring)))
-            mask = jax.lax.dynamic_slice_in_dim(mask, me * s_loc, s_loc, 2)
-            att = _attend_merge(
-                q, kv[:, idx, 0], kv[:, idx, 1], mask,
-                config.att_cap, axis,
-                scale_k=(kv_scale[:, idx, 0, :, 0] if quant else None),
-                scale_v=(kv_scale[:, idx, 1, :, 0] if quant else None))
+        rows_local = rows - me * s_loc
+        ok = (rows_local >= 0) & (rows_local < s_loc)
+        kv, kv_scale = _write_rows(
+            kv, kv_scale, idx, rows_local, ok, k, v, quant)
+        # O(s_loc) mask for this shard's resident row block only.
+        mask = _local_mask(positions, ring, window, me * s_loc, s_loc)
+        return _attend_merge(
+            q, kv[:, idx, 0], kv[:, idx, 1], mask,
+            config.att_cap, axis,
+            scale_k=(kv_scale[:, idx, 0, :, 0] if quant else None),
+            scale_v=(kv_scale[:, idx, 1, :, 0] if quant else None))
 
-        att = att.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
-        att_sums = matmul(att, layer.att_w, out_dtype=jnp.float32).reshape(
-            b, t, model_dim)
-        if lci.post_norm == PostNormType.SCALE \
-                and layer.post_att_norm is not None:
-            att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
-        x = x + att_sums
-
-        y = ops.rms_norm(x, layer.pre_ffw_norm).reshape(
-            b * t, model_dim).astype(jnp.bfloat16)
-        act = gated_ffn(y, layer.gating1, layer.gating2,
-                        out_dtype=jnp.bfloat16)
-        ffw = matmul(act, layer.linear, out_dtype=jnp.float32).reshape(
-            b, t, model_dim)
-        if lci.post_norm == PostNormType.SCALE \
-                and layer.post_ffw_norm is not None:
-            ffw = ops.rms_norm(ffw, layer.post_ffw_norm)
-        x = x + ffw
-
+    x = stack_forward(params, tokens, positions, config=config,
+                      attend=attend)
     x_bf = ops.rms_norm(x[:, -1], params.final_norm).astype(jnp.bfloat16)
     logits = matmul(x_bf, params.embedding, out_dtype=jnp.float32)
     if config.final_cap:

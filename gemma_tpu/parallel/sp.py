@@ -31,13 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from gemma_tpu.models.configs import ModelConfig, PostNormType, PostQKType
-from gemma_tpu.models.gemma import (Params, _absolute_pe, _position_encode,
-                                    embed_tokens)
+from gemma_tpu.models.configs import ModelConfig
+from gemma_tpu.models.gemma import Params
 from gemma_tpu.models.kv_cache import KVCache
-from gemma_tpu.ops import ops
-from gemma_tpu.ops.matmul import gated_ffn, matmul
 from gemma_tpu.parallel.ring_attention import _ring_attention_local
+from gemma_tpu.parallel.stack import stack_forward
 
 
 def _sp_forward_local(params: Params, tokens, positions, prefix_end, *,
@@ -45,81 +43,25 @@ def _sp_forward_local(params: Params, tokens, positions, prefix_end, *,
     """shard_map body: tokens/positions are the local T-shard, params are
     replicated (full weights per chip).  Returns the final hidden state
     [B, Tl, D] plus per-layer K/V stacks [L, B, Tl, KH, qkv_dim] in
-    kv_dtype (post key-norm + RoPE — the cache layout's contents)."""
-    b, tl = tokens.shape
-    model_dim = config.model_dim
-    lc = config.layer_configs[0]
-
-    x = embed_tokens(params.embedding, tokens, model_dim)
-    if config.absolute_pe:
-        x = x + _absolute_pe(positions, model_dim)
-
-    half_rope = lc.post_qk == PostQKType.HALF_ROPE
-    inv_ts = jnp.asarray(ops.create_inv_timescale(lc.qkv_dim, half_rope))
-    from gemma_tpu.models.configs import is_vlm
-
-    inv_ts_g = None
-    if is_vlm(config.model):  # attention.cc:85-88 (model, not wrapping)
-        inv_ts_g = jnp.asarray(ops.create_inv_timescale(
-            lc.qkv_dim, half_rope, base_frequency=1e6))
-    query_scale = config.query_scale_value()
-
+    kv_dtype (post key-norm + RoPE — the cache layout's contents).
+    Layer math lives in parallel/stack.py; this body only defines what
+    "attend" means: ring attention over `axis` + K/V stack collection."""
     ks, vs = [], []
-    for layer_idx, layer in enumerate(params.layers):
-        lci = config.layer_configs[layer_idx]
-        is_global = config.is_global_layer(layer_idx)
-        ts = inv_ts_g if (is_global and inv_ts_g is not None) else inv_ts
-        heads, kv_heads, qkv_dim = lci.heads, lci.kv_heads, lci.qkv_dim
 
-        # --- attention: local QKV GEMMs, ring attention over `axis` ---
-        a_in = ops.rms_norm(x, layer.pre_att_norm).reshape(
-            b * tl, model_dim).astype(jnp.bfloat16)
-        if layer.qkv_cat is not None:
-            qkv_all = matmul(a_in, layer.qkv_cat, out_dtype=jnp.float32)
-            q = qkv_all[:, : heads * qkv_dim]
-            kv = qkv_all[:, heads * qkv_dim:]
-        else:
-            q = matmul(a_in, layer.qkv1, out_dtype=jnp.float32)
-            kv = matmul(a_in, layer.qkv2, out_dtype=jnp.float32)
-        q = q.reshape(b, tl, heads, qkv_dim)
-        kv = kv.reshape(b, tl, kv_heads, 2, qkv_dim)
-        k, v = kv[..., 0, :], kv[..., 1, :]
-
-        if lci.use_qk_norm and layer.key_norm is not None:
-            k = ops.rms_norm(k, layer.key_norm)
-        k = _position_encode(k, positions, ts, 1.0, lci.post_qk)
-        if lci.use_qk_norm and layer.query_norm is not None:
-            q = ops.rms_norm(q, layer.query_norm)
-        q = _position_encode(q, positions, ts, query_scale, lci.post_qk)
+    def attend(layer_idx, lci, q, k, v):
         # Round K/V to the cache dtype first: the dense prefill attends
         # against what the cache stores (attention.cc:247-321).
         k = k.astype(kv_dtype)
         v = v.astype(kv_dtype)
         ks.append(k)
         vs.append(v)
-
         window = config.attention_window_sizes[layer_idx]
-        att = _ring_attention_local(
+        return _ring_attention_local(
             q, k, v, positions, positions, prefix_end,
             window=window, att_cap=config.att_cap, axis=axis)
-        att = att.reshape(b * tl, heads * qkv_dim).astype(jnp.bfloat16)
-        att_sums = matmul(att, layer.att_w, out_dtype=jnp.float32).reshape(
-            b, tl, model_dim)
-        if lci.post_norm == PostNormType.SCALE and layer.post_att_norm is not None:
-            att_sums = ops.rms_norm(att_sums, layer.post_att_norm)
-        x = x + att_sums
 
-        # --- FFN: fully local (weights replicated) ---
-        y = ops.rms_norm(x, layer.pre_ffw_norm).reshape(
-            b * tl, model_dim).astype(jnp.bfloat16)
-        act = gated_ffn(y, layer.gating1, layer.gating2,
-                        out_dtype=jnp.bfloat16)
-        ffw = matmul(act, layer.linear, out_dtype=jnp.float32).reshape(
-            b, tl, model_dim)
-        if lci.post_norm == PostNormType.SCALE and layer.post_ffw_norm is not None:
-            ffw = ops.rms_norm(ffw, layer.post_ffw_norm)
-        x = x + ffw
-
+    x = stack_forward(params, tokens, positions, config=config,
+                      attend=attend)
     return x, jnp.stack(ks), jnp.stack(vs)
 
 
@@ -148,17 +90,39 @@ def build_sp_prefill(config: ModelConfig, mesh, axis: str = "model", *,
     return jax.jit(fn)
 
 
+def _scatter_into_cache(cache: KVCache, kstack, vstack, positions,
+                        valid) -> KVCache:
+    for layer_idx in range(kstack.shape[0]):
+        # Drop positions older than the pool's ring: one XLA scatter with
+        # duplicate row indices has UNDEFINED write order (CPU happens to
+        # be last-wins, so the hermetic tests cannot catch it) — keep only
+        # the newest position mapping to each ring row, exactly what ring
+        # addressing retains.  Assumes prefill positions are consecutive
+        # per query (the engine's contract).
+        ring = cache.seq_for_layer(layer_idx)
+        newest = jnp.max(positions, axis=-1, keepdims=True)
+        live = positions > newest - ring
+        v_l = live if valid is None else (valid & live)
+        cache = cache.update(layer_idx, positions,
+                             kstack[layer_idx].astype(jnp.float32),
+                             vstack[layer_idx].astype(jnp.float32),
+                             valid=v_l)
+    return cache
+
+
+_scatter_jit = jax.jit(_scatter_into_cache, donate_argnums=(0,))
+
+
 def scatter_into_cache(cache: KVCache, kstack, vstack, positions,
                        valid=None) -> KVCache:
     """Write SP-prefill K/V stacks into a standard KVCache (ring rows,
     windowed pools, i8 quantization — whatever the cache kind does).
 
-    kstack/vstack: [L, B, T, KH, qkv_dim] from build_sp_prefill (any
-    sharding; XLA inserts the reshard).  Jit-friendly; layer loop is
-    static like the forward's."""
-    for layer_idx in range(kstack.shape[0]):
-        cache = cache.update(layer_idx, positions,
-                             kstack[layer_idx].astype(jnp.float32),
-                             vstack[layer_idx].astype(jnp.float32),
-                             valid=valid)
-    return cache
+    kstack/vstack: [L, B, T, qkv_heads, qkv_dim] from build_sp_prefill
+    (any sharding; XLA inserts the reshard).  Runs as ONE jitted,
+    cache-donating executable: the L per-layer pool updates chain
+    copy-free instead of materializing L full-cache copies + L dispatches
+    (CLAUDE.md: only chains inside one executable are reliably
+    copy-free).  Positions older than a pool's ring are routed to the
+    garbage row so no scatter carries duplicate row indices."""
+    return _scatter_jit(cache, kstack, vstack, positions, valid)

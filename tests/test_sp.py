@@ -195,3 +195,43 @@ def test_sp_decode_continuation(kv_kind):
     # this bounds propagation, not bit-parity.
     np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_scatter_wrapped_ring_has_no_duplicate_rows():
+    """T > a pool's ring length: one scatter call must keep only the
+    newest position per ring row (XLA scatter order for duplicate
+    indices is undefined — the oracle is two chunked scatters, each with
+    unique rows)."""
+    config = sp_config(window=16)
+    batch, t = 2, 48
+    # window 16 + slack 8 -> local ring 24 < t: positions wrap the ring.
+    from gemma_tpu.models.kv_cache import KVCache
+
+    cache_a = KVCache.create(config, batch, 64, kind="f32", local_slack=8)
+    cache_b = cache_a.copy()
+    assert cache_a.seq_len_local == 24
+
+    rng = np.random.default_rng(21)
+    L = config.num_layers
+    kh, qd = 2, 32
+    ks = jnp.asarray(rng.standard_normal((L, batch, t, kh, qd)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, batch, t, kh, qd)), jnp.float32)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (batch, 1))
+
+    got = scatter_into_cache(cache_a, ks, vs, positions)
+    # Oracle: chunks of 24 positions — every chunk's rows are unique.
+    want = cache_b
+    for lo in range(0, t, 24):
+        hi = min(lo + 24, t)
+        want = scatter_into_cache(want, ks[:, :, lo:hi], vs[:, :, lo:hi],
+                                  positions[:, lo:hi])
+    # Compare ring rows only: dead (wrapped-over) positions land in the
+    # garbage row, whose content is unspecified by design.
+    ring_l = got.seq_len_local
+    np.testing.assert_array_equal(
+        np.asarray(got.kv_local)[:, :, :, :, :ring_l],
+        np.asarray(want.kv_local)[:, :, :, :, :ring_l])
+    if got.kv.shape[1]:
+        np.testing.assert_array_equal(
+            np.asarray(got.kv)[:, :, :, :, :got.seq_len],
+            np.asarray(want.kv)[:, :, :, :, :got.seq_len])

@@ -224,6 +224,61 @@ def main() -> None:
         ok &= check(f"flash_prefill[{kind}] native vs XLA", got, want,
                     2e-2, 2e-2)
 
+    # --- SP prefill + CP decode on a 1-chip mesh: the shard_map bodies
+    # (parallel/stack.py GEMMs via Pallas, ring/self-loop collectives,
+    # masked CP row writes) compile under NATIVE lowering.  Tolerances
+    # are the bf16 activation-cliff bound from tests/test_sp.py. ---
+    from gemma_tpu.compression import Type
+    from gemma_tpu.models.configs import (LayerConfig, Model, ModelConfig,
+                                          PostNormType, QueryScaleType)
+    from gemma_tpu.models.gemma import forward
+    from gemma_tpu.ops.ops import soft_cap
+    from gemma_tpu.parallel import (build_cp_decode, build_sp_prefill,
+                                    make_mesh, scatter_into_cache,
+                                    shard_cache_cp)
+    from gemma_tpu.utils.synth import synth_params
+
+    lc = LayerConfig(model_dim=256, ff_hidden_dim=512, heads=4, kv_heads=2,
+                     qkv_dim=128, post_norm=PostNormType.SCALE)
+    config = ModelConfig(
+        model=Model.GEMMA2_2B, model_dim=256, vocab_size=512,
+        max_seq_len=256, num_layers=2, att_cap=50.0, final_cap=30.0,
+        query_scale=QueryScaleType.SQRT_KEY_SIZE, weight=Type.SFP)
+    config.layer_configs = [lc, lc]
+    config.attention_window_sizes = [64, 255]
+    params = synth_params(config, kind="sfp", seed=31)
+    batch, t, seq = 2, 64, 255
+    tokens = jnp.asarray(
+        rng.integers(0, config.vocab_size, (batch, t)), jnp.int32)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (batch, 1))
+
+    ref_logits, _ = forward(
+        params, tokens, positions, KVCache.create(config, batch, seq),
+        config, return_logits="last")
+    mesh1 = make_mesh(1)
+    sp = build_sp_prefill(config, mesh1)
+    x, ks, vs = sp(params, tokens, positions, jnp.zeros((batch,), jnp.int32))
+    got = soft_cap(config.final_cap, matmul(
+        jnp.asarray(x[:, -1]), params.embedding, out_dtype=jnp.float32,
+        prologue_norm=params.final_norm))
+    ok &= check("sp_prefill native (1-chip mesh) vs dense", got, ref_logits,
+                3e-2, 3e-2)
+
+    cache = scatter_into_cache(
+        KVCache.create(config, batch, seq), ks, vs, positions)
+    dense_cache = KVCache.create(config, batch, seq)
+    _, dense_cache = forward(params, tokens, positions, dense_cache, config,
+                             return_logits="none")
+    tok = jnp.full((batch, 1), 7, jnp.int32)
+    pos = jnp.full((batch, 1), t, jnp.int32)
+    ref_step, _ = forward(params, tok, pos, dense_cache, config,
+                          return_logits="last")
+    sharded = shard_cache_cp(cache, mesh1)
+    step = build_cp_decode(config, mesh1, sharded)
+    got_step, _ = step(params, tok, pos, sharded)
+    ok &= check("cp_decode native (1-chip mesh) vs dense", got_step,
+                ref_step, 3e-2, 3e-2)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 

@@ -19,9 +19,16 @@ equivalent here is a `jax.sharding.Mesh` over ICI with explicit
   - `cp.py`:    context-parallel decode — global KV pools sharded over
                 the ring dim, partial-softmax attention merged with
                 pmax/psum, masked owner-shard row writes.
+  - `pp.py`:    pipeline-parallel decode — stacked layer weights and the
+                cache's layer dim sharded into stages; microbatched
+                hidden states hop on one ppermute per stage boundary
+                (the DCN-friendly axis: communication independent of
+                layer count).
 """
 
 from gemma_tpu.parallel.cp import build_cp_decode, shard_cache_cp
+from gemma_tpu.parallel.pp import (build_pp_decode, shard_cache_pp,
+                                   stack_layers)
 from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
 from gemma_tpu.parallel.ring_attention import build_ring_attention
 from gemma_tpu.parallel.sp import build_sp_prefill, scatter_into_cache
@@ -39,6 +46,9 @@ __all__ = [
     "scatter_into_cache",
     "build_cp_decode",
     "shard_cache_cp",
+    "build_pp_decode",
+    "shard_cache_pp",
+    "stack_layers",
     "make_mesh",
     "pick_mesh_shape",
     "build_tp_decode_chunk",

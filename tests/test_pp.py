@@ -1,0 +1,200 @@
+"""Pipeline-parallel decode (parallel/pp.py) vs the single-device paths.
+
+PP runs the same composed layer math as CP (parallel/stack.py +
+parallel/cp.py internals), so PP on an 8-stage mesh is compared
+BIT-STRICTLY against the CP step on a 1-chip mesh (identical operation
+order), and within the measured bf16 activation-cliff bound against the
+dense decode (whose fused prologue/epilogue path differs by ~1 ulp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemma_tpu.compression import Type
+from gemma_tpu.models.configs import (
+    LayerConfig,
+    Model,
+    ModelConfig,
+    PostNormType,
+    QueryScaleType,
+)
+from gemma_tpu.models.gemma import forward
+from gemma_tpu.models.kv_cache import KVCache
+from gemma_tpu.parallel.cp import build_cp_decode, shard_cache_cp
+from gemma_tpu.parallel.mesh import make_mesh
+from gemma_tpu.parallel.pp import (build_pp_decode, shard_cache_pp,
+                                   stack_layers)
+from gemma_tpu.utils.synth import synth_params
+
+SEQ = 63  # padded ring 64
+
+
+def pp_config(windows):
+    model_dim, heads, kv_heads, qkv_dim, ff = 64, 4, 2, 32, 128
+    lc = LayerConfig(
+        model_dim=model_dim,
+        ff_hidden_dim=ff,
+        heads=heads,
+        kv_heads=kv_heads,
+        qkv_dim=qkv_dim,
+        post_norm=PostNormType.SCALE,
+    )
+    c = ModelConfig(
+        model=Model.GEMMA2_2B,
+        model_dim=model_dim,
+        vocab_size=256,
+        max_seq_len=256,
+        num_layers=len(windows),
+        att_cap=50.0,
+        final_cap=30.0,
+        query_scale=QueryScaleType.SQRT_KEY_SIZE,
+        weight=Type.F32,
+    )
+    c.layer_configs = [lc for _ in windows]
+    c.attention_window_sizes = list(windows)
+    return c
+
+
+def _prefilled(config, params, batch, t, kv_kind, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(
+        rng.integers(0, config.vocab_size, (batch, t)), jnp.int32)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (batch, 1))
+    cache = KVCache.create(config, batch, SEQ, kind=kv_kind,
+                           split_local=False)
+    _, cache = forward(params, tokens, positions, cache, config,
+                       return_logits="none")
+    return cache
+
+
+@pytest.mark.parametrize("kv_kind", ["f32", "i8", "bf16"])
+def test_pp_decode_matches_cp_single(kv_kind):
+    """8 stages, alternating windows, ONE microbatch (bm == B): PP must
+    reproduce the CP 1-chip step bit-for-bit — with matching batch
+    shapes every GEMM/einsum tiles identically.  (At m > 1 the per-
+    microbatch M changes XLA's f32 reduction order; combined with bf16
+    K/V rounding cliffs that breaks bit-parity — bounded separately in
+    test_pp_microbatched_bounded.)"""
+    windows = (16, SEQ + 1) * 4
+    config = pp_config(windows)
+    params = synth_params(config, kind="sfp", seed=7)
+    batch, t = 8, 32
+    cache = _prefilled(config, params, batch, t, kv_kind, seed=7)
+    tok = jnp.full((batch, 1), 7, jnp.int32)
+    pos = jnp.full((batch, 1), t, jnp.int32)
+
+    mesh1 = make_mesh(1)
+    cp_cache = shard_cache_cp(cache.copy(), mesh1)
+    cp_step = build_cp_decode(config, mesh1, cp_cache)
+    want_logits, want_cache = cp_step(params, tok, pos, cp_cache)
+
+    mesh = make_mesh(8)
+    pp_cache = shard_cache_pp(cache.copy(), mesh)
+    step = build_pp_decode(config, mesh, pp_cache, n_micro=1)
+    stacked = stack_layers(params)
+    got_logits, got_cache = step(stacked, params.embedding,
+                                 params.final_norm, tok, pos, pp_cache)
+
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_cache.kv),
+                               np.asarray(want_cache.kv), rtol=1e-6,
+                               atol=1e-6)
+    if kv_kind == "i8":
+        np.testing.assert_allclose(np.asarray(got_cache.kv_scale),
+                                   np.asarray(want_cache.kv_scale),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_pp_decode_vs_dense():
+    """PP vs the dense (fused-path) decode step at a SHALLOW depth where
+    the bf16 activation cliff stays bounded (2 layers over 2 stages on a
+    data=4 x model=2 mesh): the composed path differs from the fused one
+    by ~1 ulp per stage; deeper models compound cliffs and are covered
+    by the bit-strict PP-vs-CP comparison instead."""
+    windows = (SEQ + 1,) * 2
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=9)
+    batch, t = 8, 24
+    cache = _prefilled(config, params, batch, t, "bf16", seed=9)
+    tok = jnp.full((batch, 1), 5, jnp.int32)
+    pos = jnp.full((batch, 1), t, jnp.int32)
+
+    ref_logits, _ = forward(params, tok, pos, cache.copy(), config,
+                            return_logits="last")
+    mesh = make_mesh(8, data=4, model=2)
+    pp_cache = shard_cache_pp(cache.copy(), mesh)
+    step = build_pp_decode(config, mesh, pp_cache)
+    logits, _ = step(stack_layers(params), params.embedding,
+                     params.final_norm, tok, pos, pp_cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_pp_multi_step():
+    """Two chained PP steps (one microbatch) bit-match two chained CP
+    single-chip steps (the cache written by step 1 feeds step 2)."""
+    windows = (16, SEQ + 1) * 4
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=11)
+    batch, t = 8, 16
+    cache = _prefilled(config, params, batch, t, "bf16", seed=11)
+    mesh1 = make_mesh(1)
+    cp_cache = shard_cache_cp(cache.copy(), mesh1)
+    cp_step = build_cp_decode(config, mesh1, cp_cache)
+    mesh = make_mesh(8)
+    pp_cache = shard_cache_pp(cache.copy(), mesh)
+    step = build_pp_decode(config, mesh, pp_cache, n_micro=1)
+    stacked = stack_layers(params)
+
+    for i in range(2):
+        tok = jnp.full((batch, 1), 3 + i, jnp.int32)
+        pos = jnp.full((batch, 1), t + i, jnp.int32)
+        want_logits, cp_cache = cp_step(params, tok, pos, cp_cache)
+        logits, pp_cache = step(stacked, params.embedding,
+                                params.final_norm, tok, pos, pp_cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want_logits), rtol=1e-6,
+                                   atol=1e-6, err_msg=f"step {i}")
+
+
+def test_pp_microbatched_bounded():
+    """Full pipelining (m = 8 microbatches of 1 query): per-microbatch
+    GEMM/einsum tiling changes the f32 reduction order vs the full-batch
+    oracle, and bf16 K/V rounding amplifies it to whole ulps — bound the
+    drift at this depth (measured 5.5e-3 over 8 layers)."""
+    windows = (16, SEQ + 1) * 4
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=11)
+    batch, t = 8, 16
+    cache = _prefilled(config, params, batch, t, "bf16", seed=11)
+    mesh1 = make_mesh(1)
+    cp_cache = shard_cache_cp(cache.copy(), mesh1)
+    cp_step = build_cp_decode(config, mesh1, cp_cache)
+    mesh = make_mesh(8)
+    pp_cache = shard_cache_pp(cache.copy(), mesh)
+    step = build_pp_decode(config, mesh, pp_cache)  # m defaults to 8
+    stacked = stack_layers(params)
+
+    for i in range(2):
+        tok = jnp.full((batch, 1), 3 + i, jnp.int32)
+        pos = jnp.full((batch, 1), t + i, jnp.int32)
+        want_logits, cp_cache = cp_step(params, tok, pos, cp_cache)
+        logits, pp_cache = step(stacked, params.embedding,
+                                params.final_norm, tok, pos, pp_cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want_logits), rtol=3e-2,
+                                   atol=3e-2, err_msg=f"step {i}")
+
+
+def test_pp_guards():
+    config = pp_config((SEQ + 1,) * 6)  # 6 layers don't divide 8 stages
+    mesh = make_mesh(8)
+    cache = KVCache.create(config, 2, SEQ, split_local=False)
+    with pytest.raises(ValueError, match="divide"):
+        build_pp_decode(config, mesh, cache)
+    config2 = pp_config((16,) * 8)
+    split = KVCache.create(config2, 2, SEQ, split_local=True, local_slack=8)
+    with pytest.raises(ValueError, match="split_local"):
+        shard_cache_pp(split, mesh)

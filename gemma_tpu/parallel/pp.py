@@ -27,6 +27,10 @@ Numerics: the composed layer path (bit-identical GEMMs to SP/CP; the
 dense decode's fused prologue/epilogue path differs by ~1 bf16 ulp —
 tests compare PP to the CP single-chip step bit-strictly and to the
 dense step within the measured cliff bound).
+
+Prefill: run it on whichever path fits (dense engine, TP, or SP for
+long prompts) with a uniform-pool cache, then `shard_cache_pp` reshards
+the finished cache onto the stage layout — PP itself only decodes.
 """
 
 from __future__ import annotations
@@ -225,6 +229,64 @@ def build_pp_decode(config: ModelConfig, mesh, cache: KVCache,
 
     # P(axis) is a PREFIX spec for the whole stacked-layers pytree:
     # every leaf shards its leading (layer) dim into stages.
+    fn = jax.shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(), cache_sp),
+        out_specs=(P(), cache_sp),
+        check_vma=False)
+    jitted = jax.jit(fn, donate_argnums=(7,))
+
+    def call(stage_layers, embedding, final_norm, tokens, positions, c):
+        return jitted(stage_layers, embedding, final_norm, windows, ts_all,
+                      tokens, positions, c)
+
+    return call
+
+
+def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
+                          k: int, n_micro: int | None = None,
+                          axis: str = "model"):
+    """Greedy-decode k tokens inside ONE executable (the PP analog of
+    build_cp_decode_chunk: pools round-trip device memory once per chunk,
+    one host dispatch per k steps; each step still pipelines its
+    microbatches through the stages).
+
+    Jitted (stacked_layers, embedding, final_norm, tokens [B,1],
+    positions [B,1], cache) -> (tokens [B, k] i32, cache)."""
+    n = mesh.shape[axis]
+    L = len(config.layer_configs)
+    if L % n:
+        raise ValueError(f"{L} layers do not divide over {n} stages")
+    _uniform_layer_config(config)
+    m = n_micro or n
+
+    windows = jnp.asarray(config.attention_window_sizes, jnp.int32)
+    inv_ts, inv_ts_g, _ = rope_timescales(config)
+    ts_all = jnp.stack([
+        inv_ts_g if (config.is_global_layer(i) and inv_ts_g is not None)
+        else inv_ts
+        for i in range(L)])
+    body = functools.partial(_pp_decode_local, config=config, axis=axis,
+                             n_micro=m)
+    cache_sp = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(cache),
+        [P(None, axis)] * (2 if cache.quantized else 1))
+
+    def wrapped(stage_layers, embedding, final_norm, windows_a, ts_a,
+                tokens, positions, c):
+        def step(carry, _):
+            tok, pos, cc = carry
+            logits, kv, kv_scale = body(stage_layers, embedding,
+                                        final_norm, windows_a, ts_a,
+                                        tok, pos, cc)
+            cc = dataclasses.replace(cc, kv=kv, kv_scale=kv_scale)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, pos + 1, cc), nxt[:, 0]
+
+        (_, _, c), toks = jax.lax.scan(
+            step, (tokens, positions, c), None, length=k)
+        return toks.swapaxes(0, 1), c
+
     fn = jax.shard_map(
         wrapped, mesh=mesh,
         in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(), cache_sp),

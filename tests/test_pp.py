@@ -198,3 +198,39 @@ def test_pp_guards():
     split = KVCache.create(config2, 2, SEQ, split_local=True, local_slack=8)
     with pytest.raises(ValueError, match="split_local"):
         shard_cache_pp(split, mesh)
+
+
+def test_pp_decode_chunk_matches_steps():
+    """The k-step greedy scan reproduces k sequential argmax-fed PP
+    steps exactly (same math, one executable)."""
+    from gemma_tpu.parallel.pp import build_pp_decode_chunk
+
+    windows = (16, SEQ + 1) * 4
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=23)
+    batch, t, k = 8, 16, 3
+    cache = _prefilled(config, params, batch, t, "bf16", seed=23)
+    mesh = make_mesh(8)
+    stacked = stack_layers(params)
+
+    step = build_pp_decode(config, mesh, cache)
+    c = shard_cache_pp(cache.copy(), mesh)
+    cur_tok = jnp.full((batch, 1), 7, jnp.int32)
+    cur_pos = jnp.full((batch, 1), t, jnp.int32)
+    want = []
+    for _ in range(k):
+        logits, c = step(stacked, params.embedding, params.final_norm,
+                         cur_tok, cur_pos, c)
+        cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        want.append(np.asarray(cur_tok[:, 0]))
+        cur_pos = cur_pos + 1
+    want = np.stack(want, axis=1)
+
+    chunk = build_pp_decode_chunk(config, mesh, cache, k)
+    c2 = shard_cache_pp(cache.copy(), mesh)
+    got, c2 = chunk(stacked, params.embedding, params.final_norm,
+                    jnp.full((batch, 1), 7, jnp.int32),
+                    jnp.full((batch, 1), t, jnp.int32), c2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    np.testing.assert_allclose(np.asarray(c2.kv), np.asarray(c.kv),
+                               rtol=1e-6, atol=1e-6)

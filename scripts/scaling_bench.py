@@ -27,6 +27,11 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--devices", type=int, default=0,
                    help="force N virtual CPU devices (0 = use real devices)")
+    p.add_argument("--mode", default="tp",
+                   choices=["tp", "sp", "cp", "pp"],
+                   help="parallel mode: tp decode (default), sp prefill, "
+                        "cp decode chunk, pp decode chunk — see "
+                        "docs/PARALLEL.md")
     p.add_argument("--psum-share", action="store_true",
                    help="also time a collective-free (numerically wrong) "
                         "variant to report the psum/all_gather cost share")
@@ -81,6 +86,10 @@ def main() -> None:
     while n <= n_dev:
         sizes.append(n)
         n *= 2
+
+    if args.mode != "tp":
+        _run_mode(args, config, params_host, sizes)
+        return
 
     base_tps = None
     for n in sizes:
@@ -145,6 +154,84 @@ def main() -> None:
                 per = dt_p / max(args.steps // 4, 2)
                 print(f"  prefill[{t} tok, {label:>8s}]: {per*1e3:8.2f} ms "
                       f"({args.batch * t / per:10.0f} tok/s)")
+
+
+def _run_mode(args, config, params_host, sizes) -> None:
+    """SP prefill / CP decode / PP decode scaling (docs/PARALLEL.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemma_tpu.models.kv_cache import KVCache
+    from gemma_tpu.parallel import (build_sp_prefill, make_mesh,
+                                    scatter_into_cache, shard_cache_cp,
+                                    shard_cache_pp, stack_layers)
+    from gemma_tpu.parallel.cp import build_cp_decode_chunk
+    from gemma_tpu.parallel.pp import build_pp_decode_chunk
+
+    rng = np.random.default_rng(0)
+    base = None
+    L = len(config.layer_configs)
+    for n in sizes:
+        mesh = make_mesh(n, config)
+        if args.mode == "sp":
+            t = max(args.prefill or args.seq // 2, 8 * n)
+            t -= t % n
+            tokens = jnp.asarray(
+                rng.integers(0, config.vocab_size, (args.batch, t)),
+                jnp.int32)
+            positions = jnp.tile(jnp.arange(t, dtype=jnp.int32),
+                                 (args.batch, 1))
+            pe = jnp.zeros((args.batch,), jnp.int32)
+            sp = build_sp_prefill(config, mesh)
+            x, _, _ = sp(params_host, tokens, positions, pe)
+            np.asarray(x[:, -1])
+            reps = max(args.steps // 4, 2)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                x, _, _ = sp(params_host, tokens, positions, pe)
+            np.asarray(x[:, -1])
+            tps = args.batch * t * reps / (time.perf_counter() - t0)
+            work = args.batch * t
+        else:
+            kind = "pp" if args.mode == "pp" else "cp"
+            if kind == "pp" and L % n:
+                print(f"devices={n:3d} skipped ({L} layers % {n} stages)")
+                continue
+            cache = KVCache.create(config, args.batch, args.seq,
+                                   split_local=(kind == "cp"))
+            if kind == "cp" and cache.kv.shape[4] % n:
+                print(f"devices={n:3d} skipped (ring alloc "
+                      f"{cache.kv.shape[4]} % {n})")
+                continue
+            tok = jnp.full((args.batch, 1), 7, jnp.int32)
+            pos = jnp.full((args.batch, 1), args.seq // 2, jnp.int32)
+            if kind == "cp":
+                c = shard_cache_cp(cache, mesh)
+                chunk = build_cp_decode_chunk(config, mesh, c, args.steps)
+                fn = lambda c: chunk(params_host, tok, pos, c)  # noqa: E731
+            else:
+                c = shard_cache_pp(cache, mesh)
+                chunk = build_pp_decode_chunk(config, mesh, c, args.steps)
+                stacked = stack_layers(params_host)
+                fn = lambda c: chunk(  # noqa: E731
+                    stacked, params_host.embedding, params_host.final_norm,
+                    tok, pos, c)
+            toks, c = fn(c)
+            np.asarray(toks)
+            t0 = time.perf_counter()
+            toks, c = fn(c)
+            np.asarray(toks)
+            dt = time.perf_counter() - t0
+            tps = args.batch * args.steps / dt
+            work = args.batch * args.steps
+        if base is None:
+            base = tps
+        eff = tps / (base * n)
+        print(f"devices={n:3d} mode={args.mode} {tps:10.1f} tok/s "
+              f"({work} tokens/round)  efficiency={eff:6.1%}")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3hw
-stages=${@:-"parity tune16 tune27b tune9b tune256 ablate fusedab bench"}
+stages=${@:-"parity aotmc tune16 tune27b tune9b tune256 ablate fusedab bench"}
 
 run() {  # run <name> <timeout-s> <cmd...>
     local name=$1 tmo=$2; shift 2
@@ -23,6 +23,10 @@ for s in $stages; do
         # Native-lowering parity for every round-3 kernel (fused
         # prologue/epilogue, top1 head, i4) — abort on failure.
         run parity 3600 scripts/tpu_parity.py || { echo "PARITY FAILED"; exit 1; } ;;
+    aotmc)
+        # AOT-compile the round-3 SP/CP/PP shard_map bodies for a v5e 2x4
+        # topology: catches Mosaic lowering failures CPU tests cannot see.
+        run aotmc 3600 scripts/aot_multichip.py ;;
     tune16)
         # 2B decode shapes at M-bucket 16: the round-2 cache predates the
         # fused qkv_cat GEMM (16, 2304, 4096) and the i4 codec, so the

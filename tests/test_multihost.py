@@ -104,7 +104,41 @@ for shard in logits.addressable_shards:
     want = ref[row0 : row0 + got.shape[0]]
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 assert sl == slice(pid * 2, pid * 2 + 2), sl
-print(f"proc {pid}: OK ({len(logits.addressable_shards)} local shards)")
+
+# --- SP prefill with the ring axis SPANNING the two processes: the
+# ppermute KV rotation crosses the "DCN" boundary every hop.  Layer-0 K
+# is bit-strict vs the dense prefill cache (tests/test_sp.py rationale).
+from gemma_tpu.parallel.sp import build_sp_prefill
+
+mesh_sp = make_mesh(config=config, data=1, model=8)
+assert len({proc_of[d] for d in mesh_sp.devices.flat}) == 2
+T2 = 16
+tokens2 = rng.integers(2, config.vocab_size, (B, T2)).astype(np.int32)
+pos2 = np.tile(np.arange(T2, dtype=np.int32), (B, 1))
+
+def to_global_sp(a, spec):
+    s = NamedSharding(mesh_sp, spec)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+params_sp = jax.tree.map(lambda a: to_global_sp(a, P()), params)
+sp = build_sp_prefill(config, mesh_sp, kv_dtype=jnp.float32)
+x, ks, vs = sp(params_sp, to_global_sp(tokens2, P(None, "model")),
+               to_global_sp(pos2, P(None, "model")),
+               to_global_sp(np.zeros((B,), np.int32), P()))
+
+ref_cache2 = KVCache.create(config, B, SEQ, kind="f32")
+_, ref_cache2 = forward(params, jnp.asarray(tokens2), jnp.asarray(pos2),
+                        ref_cache2, config, return_logits="none")
+ref_k0 = np.asarray(ref_cache2.k_layer(0))[:, :, :T2]   # [B, KH, T2, D]
+ref_k0 = ref_k0.transpose(0, 2, 1, 3)                   # [B, T2, KH, D]
+for shard in ks.addressable_shards:
+    tsl = shard.index[2]
+    got = np.asarray(shard.data)[0]                     # layer 0
+    np.testing.assert_allclose(got, ref_k0[:, tsl], rtol=1e-6, atol=1e-6)
+
+print(f"proc {pid}: OK ({len(logits.addressable_shards)} local shards; "
+      f"SP ring over DCN bit-strict at layer 0)")
 """
 
 

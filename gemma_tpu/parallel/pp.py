@@ -44,22 +44,48 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from gemma_tpu.models.configs import ModelConfig
-from gemma_tpu.models.gemma import Params, embed_tokens
+from gemma_tpu.models.gemma import Params, _absolute_pe, embed_tokens
 from gemma_tpu.models.kv_cache import KVCache
 from gemma_tpu.ops import ops
-from gemma_tpu.ops.matmul import matmul
+from gemma_tpu.ops.matmul import QuantTensor, matmul
 from gemma_tpu.ops.ops import soft_cap
 from gemma_tpu.parallel.cp import _attend_merge, _local_mask, _write_rows
 from gemma_tpu.parallel.stack import apply_layer, rope_timescales
 
 
+def _fold_scale(qt):
+    """Fold a per-tensor scale into the weight array where that is exact
+    enough (f32: exact; bf16: one extra rounding), so layers with
+    differing scales share QuantTensor aux and can stack."""
+    if not isinstance(qt, QuantTensor) or qt.scale == 1.0:
+        return qt
+    if qt.kind in ("f32", "bf16"):
+        w = qt.arrays["w"]
+        w = (w.astype(jnp.float32) * jnp.float32(qt.scale)).astype(w.dtype)
+        return QuantTensor(qt.kind, qt.shape, 1.0, {"w": w}, qt.flags)
+    return qt
+
+
 def stack_layers(params: Params):
     """Stack the per-layer pytrees into [L, ...]-leading leaves.
 
-    All layers must share shapes/kinds (true for every Gemma config's
-    GEMMA layers); QuantTensor aux (kind, logical shape, scale) is taken
-    from layer 0 and restored when a stage indexes a layer back out."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *params.layers)
+    QuantTensor aux (kind, logical shape, scale) must match across
+    layers; f32/bf16 per-tensor scales are folded into the weights
+    first.  Quantized codecs whose per-tensor scales differ per layer
+    cannot stack losslessly — load with `--kind i8` / `--kind i4` (the
+    transcodes re-encode with group scales and aux scale 1.0)."""
+    is_qt = lambda x: isinstance(x, QuantTensor)  # noqa: E731
+    layers = [jax.tree.map(_fold_scale, l, is_leaf=is_qt)
+              for l in params.layers]
+    t0 = jax.tree_util.tree_structure(layers[0])
+    for i, l in enumerate(layers[1:], 1):
+        if jax.tree_util.tree_structure(l) != t0:
+            raise ValueError(
+                f"layer {i}'s pytree aux differs from layer 0's (per-"
+                "tensor codec scales or layout flags): PP needs uniform "
+                "stackable layers — load with --kind i8 or --kind i4, "
+                "whose transcodes normalize scales into group arrays")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
 def pp_layer_specs(stacked, axis: str = "model"):
@@ -109,40 +135,30 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
     and RoPE timescales [Ls, ...]."""
     b, t = tokens.shape
     assert t == 1, "PP decode is one token per query per step"
+    m = n_micro
+    assert b % m == 0, (
+        f"batch {b} must divide into {m} microbatches — queries past "
+        f"m*floor(b/m) would silently get garbage logits")
     n = jax.lax.psum(1, axis)
     me = jax.lax.axis_index(axis)
     quant = cache.quantized
-    m = n_micro
     bm = b // m
     model_dim = config.model_dim
-    lc = _uniform_layer_config(config)
     ls = windows_stage.shape[0]
 
     kv, kv_scale = cache.kv, cache.kv_scale
     ring = cache.seq_len
-    _, _, query_scale = rope_timescales(config)
+    query_scale = config.query_scale_value()
 
     x_buf = jnp.zeros((b, model_dim), jnp.float32)
     h = jnp.zeros((bm, 1, model_dim), jnp.float32)
     perm = [(i, i + 1) for i in range(n - 1)]
 
-    for tick in range(m + n - 1):
-        # Stage 0 ingests microbatch `tick`; others receive from the left.
-        h_prev = jax.lax.ppermute(h, axis, perm)
-        if tick < m:
-            mb = embed_tokens(embedding,
-                              tokens[tick * bm:(tick + 1) * bm], model_dim)
-        else:
-            mb = jnp.zeros_like(h)
-        h = jnp.where(me == 0, mb, h_prev)
-
-        mu = tick - me                       # this chip's microbatch index
-        active = (mu >= 0) & (mu < m)
-        start = jnp.clip(mu * bm, 0, b - bm)
-        pos_mb = jax.lax.dynamic_slice_in_dim(positions, start, bm, 0)
+    def stage_compute(h, kv, kv_scale, pos_mb, start):
+        """This stage's Ls layers on one microbatch (active ticks)."""
         rows = (pos_mb[:, 0] % ring).astype(jnp.int32)
-
         x = h
+
         for i in range(ls):
             layer = jax.tree.map(lambda a, _i=i: a[_i], stage_layers)
             window = windows_stage[i]
@@ -151,12 +167,12 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
             def attend(layer_idx, lci, q, k, v, _i=i, _w=window):
                 nonlocal kv, kv_scale
                 # Write the microbatch's row into MY pool slice at the
-                # traced B offset; inactive ticks rewrite current values.
+                # traced B offset.
                 pool_mb = jax.lax.dynamic_slice_in_dim(kv, start, bm, 0)
                 sc_mb = (jax.lax.dynamic_slice_in_dim(kv_scale, start,
                                                       bm, 0)
                          if quant else None)
-                ok = jnp.broadcast_to(active, (bm,))
+                ok = jnp.ones((bm,), bool)
                 pool_mb, sc_mb = _write_rows(pool_mb, sc_mb, _i, rows, ok,
                                              k, v, quant)
                 kv = jax.lax.dynamic_update_slice_in_dim(kv, pool_mb,
@@ -174,6 +190,39 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
             x = apply_layer(layer, 0, x, pos_mb, config=config,
                             inv_ts=ts, inv_ts_g=None,
                             query_scale=query_scale, attend=attend)
+        return (x, kv) + ((kv_scale,) if quant else ())
+
+    for tick in range(m + n - 1):
+        # Stage 0 ingests microbatch `tick`; others receive from the left.
+        h_prev = jax.lax.ppermute(h, axis, perm)
+        if tick < m:
+            mb = embed_tokens(embedding,
+                              tokens[tick * bm:(tick + 1) * bm], model_dim)
+            if config.absolute_pe:
+                mb = mb + _absolute_pe(
+                    positions[tick * bm:(tick + 1) * bm], model_dim)
+        else:
+            mb = jnp.zeros_like(h)
+        h = jnp.where(me == 0, mb, h_prev)
+
+        mu = tick - me                       # this chip's microbatch index
+        active = (mu >= 0) & (mu < m)
+        start = jnp.clip(mu * bm, 0, b - bm)
+        pos_mb = jax.lax.dynamic_slice_in_dim(positions, start, bm, 0)
+
+        # Pipeline-bubble ticks skip the whole stage (no pool
+        # read-modify-write traffic, no GEMMs): lax.cond on the per-chip
+        # scalar is a real branch inside shard_map.
+        ops_in = (h, kv) + ((kv_scale,) if quant else ())
+        out = jax.lax.cond(
+            active,
+            lambda o: stage_compute(o[0], o[1],
+                                    o[2] if quant else None, pos_mb, start),
+            lambda o: o,
+            ops_in)
+        x, kv = out[0], out[1]
+        if quant:
+            kv_scale = out[2]
         h = x
 
         # Last stage banks the finished microbatch's hidden row.
@@ -201,46 +250,7 @@ def build_pp_decode(config: ModelConfig, mesh, cache: KVCache,
     jit reshard) for the weights; `shard_cache_pp` for the cache.
     n_micro defaults to the stage count (full pipelining when B divides).
     """
-    n = mesh.shape[axis]
-    L = len(config.layer_configs)
-    if L % n:
-        raise ValueError(f"{L} layers do not divide over {n} stages")
-    _uniform_layer_config(config)
-    m = n_micro or n
-
-    windows = jnp.asarray(config.attention_window_sizes, jnp.int32)
-    inv_ts, inv_ts_g, _ = rope_timescales(config)
-    ts_all = jnp.stack([
-        inv_ts_g if (config.is_global_layer(i) and inv_ts_g is not None)
-        else inv_ts
-        for i in range(L)])
-
-    body = functools.partial(_pp_decode_local, config=config, axis=axis,
-                             n_micro=m)
-    cache_sp = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(cache),
-        [P(None, axis)] * (2 if cache.quantized else 1))
-
-    def wrapped(stage_layers, embedding, final_norm, windows_a, ts_a,
-                tokens, positions, c):
-        logits, kv, kv_scale = body(stage_layers, embedding, final_norm,
-                                    windows_a, ts_a, tokens, positions, c)
-        return logits, dataclasses.replace(c, kv=kv, kv_scale=kv_scale)
-
-    # P(axis) is a PREFIX spec for the whole stacked-layers pytree:
-    # every leaf shards its leading (layer) dim into stages.
-    fn = jax.shard_map(
-        wrapped, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(), cache_sp),
-        out_specs=(P(), cache_sp),
-        check_vma=False)
-    jitted = jax.jit(fn, donate_argnums=(7,))
-
-    def call(stage_layers, embedding, final_norm, tokens, positions, c):
-        return jitted(stage_layers, embedding, final_norm, windows, ts_all,
-                      tokens, positions, c)
-
-    return call
+    return _build(config, mesh, cache, n_micro, axis, k=None)
 
 
 def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
@@ -253,6 +263,12 @@ def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
 
     Jitted (stacked_layers, embedding, final_norm, tokens [B,1],
     positions [B,1], cache) -> (tokens [B, k] i32, cache)."""
+    return _build(config, mesh, cache, n_micro, axis, k=k)
+
+
+def _build(config, mesh, cache, n_micro, axis, k):
+    """Shared builder: k=None -> single step returning logits; k=int ->
+    greedy scan returning [B, k] tokens."""
     n = mesh.shape[axis]
     L = len(config.layer_configs)
     if L % n:
@@ -272,21 +288,30 @@ def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
         jax.tree_util.tree_structure(cache),
         [P(None, axis)] * (2 if cache.quantized else 1))
 
-    def wrapped(stage_layers, embedding, final_norm, windows_a, ts_a,
-                tokens, positions, c):
-        def step(carry, _):
-            tok, pos, cc = carry
-            logits, kv, kv_scale = body(stage_layers, embedding,
-                                        final_norm, windows_a, ts_a,
-                                        tok, pos, cc)
-            cc = dataclasses.replace(cc, kv=kv, kv_scale=kv_scale)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-            return (nxt, pos + 1, cc), nxt[:, 0]
+    def one_step(stage_layers, embedding, final_norm, windows_a, ts_a,
+                 tok, pos, c):
+        logits, kv, kv_scale = body(stage_layers, embedding, final_norm,
+                                    windows_a, ts_a, tok, pos, c)
+        return logits, dataclasses.replace(c, kv=kv, kv_scale=kv_scale)
 
-        (_, _, c), toks = jax.lax.scan(
-            step, (tokens, positions, c), None, length=k)
-        return toks.swapaxes(0, 1), c
+    if k is None:
+        wrapped = one_step
+    else:
+        def wrapped(stage_layers, embedding, final_norm, windows_a, ts_a,
+                    tokens, positions, c):
+            def step(carry, _):
+                tok, pos, cc = carry
+                logits, cc = one_step(stage_layers, embedding, final_norm,
+                                      windows_a, ts_a, tok, pos, cc)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, pos + 1, cc), nxt[:, 0]
 
+            (_, _, c), toks = jax.lax.scan(
+                step, (tokens, positions, c), None, length=k)
+            return toks.swapaxes(0, 1), c
+
+    # P(axis) is a PREFIX spec for the whole stacked-layers pytree:
+    # every leaf shards its leading (layer) dim into stages.
     fn = jax.shard_map(
         wrapped, mesh=mesh,
         in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(), cache_sp),

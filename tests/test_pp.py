@@ -6,6 +6,7 @@ BIT-STRICTLY against the CP step on a 1-chip mesh (identical operation
 order), and within the measured bf16 activation-cliff bound against the
 dense decode (whose fused prologue/epilogue path differs by ~1 ulp)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -234,3 +235,54 @@ def test_pp_decode_chunk_matches_steps():
     np.testing.assert_array_equal(np.asarray(got), want)
     np.testing.assert_allclose(np.asarray(c2.kv), np.asarray(c.kv),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pp_batch_must_divide_microbatches():
+    windows = (SEQ + 1,) * 8
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=3)
+    cache = KVCache.create(config, 6, SEQ, split_local=False)  # 6 % 8 != 0
+    mesh = make_mesh(8)
+    step = build_pp_decode(config, mesh, cache)
+    with pytest.raises(AssertionError, match="microbatches"):
+        step(stack_layers(params), params.embedding, params.final_norm,
+             jnp.zeros((6, 1), jnp.int32), jnp.zeros((6, 1), jnp.int32),
+             shard_cache_pp(cache, mesh))
+
+
+def test_stack_layers_scale_handling():
+    """Differing per-layer f32/bf16 scales fold into the weights;
+    unfoldable quantized scales raise with the transcode hint."""
+    import dataclasses as dc
+
+    from gemma_tpu.ops.matmul import QuantTensor
+
+    config = pp_config((SEQ + 1, SEQ + 1))
+    params = synth_params(config, kind="f32", seed=5)
+
+    def rescale(qt, s):
+        if not isinstance(qt, QuantTensor):
+            return qt
+        w = qt.arrays["w"] / np.float32(s)
+        return QuantTensor(qt.kind, qt.shape, float(s), {"w": w}, qt.flags)
+
+    is_qt = lambda x: isinstance(x, QuantTensor)  # noqa: E731
+    l0 = jax.tree.map(lambda q: rescale(q, 2.0), params.layers[0],
+                      is_leaf=is_qt)
+    l1 = jax.tree.map(lambda q: rescale(q, 0.5), params.layers[1],
+                      is_leaf=is_qt)
+    scaled = dc.replace(params, layers=[l0, l1])
+    stacked = stack_layers(scaled)   # folds: no raise
+    ref = stack_layers(params)
+    np.testing.assert_allclose(np.asarray(stacked.att_w.arrays["w"]),
+                               np.asarray(ref.att_w.arrays["w"]),
+                               rtol=1e-6, atol=1e-6)
+
+    sfp_params = synth_params(config, kind="sfp", seed=5)
+    s0 = jax.tree.map(
+        lambda q: (dc.replace(q, scale=2.0) if isinstance(q, QuantTensor)
+                   else q),
+        sfp_params.layers[0], is_leaf=is_qt)
+    bad = dc.replace(sfp_params, layers=[s0, sfp_params.layers[1]])
+    with pytest.raises(ValueError, match="kind i8"):
+        stack_layers(bad)

@@ -26,9 +26,12 @@ equivalent here is a `jax.sharding.Mesh` over ICI with explicit
                 layer count).
 """
 
-from gemma_tpu.parallel.cp import build_cp_decode, shard_cache_cp
-from gemma_tpu.parallel.pp import (build_pp_decode, shard_cache_pp,
-                                   stack_layers)
+from gemma_tpu.parallel.cp import (build_cp_decode,
+                                   build_cp_decode_chunk,
+                                   shard_cache_cp)
+from gemma_tpu.parallel.pp import (build_pp_decode,
+                                   build_pp_decode_chunk,
+                                   shard_cache_pp, stack_layers)
 from gemma_tpu.parallel.mesh import make_mesh, pick_mesh_shape
 from gemma_tpu.parallel.ring_attention import build_ring_attention
 from gemma_tpu.parallel.sp import build_sp_prefill, scatter_into_cache
@@ -45,8 +48,10 @@ __all__ = [
     "build_sp_prefill",
     "scatter_into_cache",
     "build_cp_decode",
+    "build_cp_decode_chunk",
     "shard_cache_cp",
     "build_pp_decode",
+    "build_pp_decode_chunk",
     "shard_cache_pp",
     "stack_layers",
     "make_mesh",

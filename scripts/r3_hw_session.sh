@@ -22,7 +22,9 @@ for s in $stages; do
     parity)
         # Native-lowering parity for every round-3 kernel (fused
         # prologue/epilogue, top1 head, i4) — abort on failure.
-        run parity 3600 scripts/tpu_parity.py || { echo "PARITY FAILED"; exit 1; } ;;
+        # Do NOT abort the session on failure: tunnel windows are
+        # scarce — record the failure and still collect sweeps/bench.
+        run parity 3600 scripts/tpu_parity.py || echo "PARITY FAILED — investigate /tmp/r3hw/parity.log" ;;
     aotmc)
         # AOT-compile the round-3 SP/CP/PP shard_map bodies for a v5e 2x4
         # topology: catches Mosaic lowering failures CPU tests cannot see.

@@ -23,6 +23,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -167,16 +169,57 @@ def measure_prefill(config, kind: str, batch: int, chunk: int,
             "dt_ms": round(dt * 1e3, 2)}
 
 
-def main() -> None:
-    import os
+def probe_backend(timeout_s: float = 300.0) -> str:
+    """Resolve the JAX backend in a SUBPROCESS so a dead/hung TPU tunnel
+    cannot take down (or hang) the bench process itself.
 
+    Returns "tpu" (any non-cpu accelerator), "cpu", or "unavailable".
+    BENCH_rN must never be an unparseable slot (VERDICT r3 weak #1): the
+    caller downgrades "unavailable" to a CPU smoke run with an error field
+    instead of dying at backend init.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; import sys; sys.exit(0 if jax.default_backend()"
+             " != 'cpu' else 3)"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return "tpu"
+        if r.returncode == 3:
+            return "cpu"
+        print(f"backend probe rc={r.returncode}: "
+              f"{r.stderr.decode(errors='replace')[-400:]}", file=sys.stderr)
+        return "unavailable"
+    except subprocess.TimeoutExpired:
+        print(f"backend probe timed out after {timeout_s}s", file=sys.stderr)
+        return "unavailable"
+    except Exception as e:  # noqa: BLE001
+        print(f"backend probe failed: {e}", file=sys.stderr)
+        return "unavailable"
+
+
+def main() -> None:
     from gemma_tpu.models.configs import config_gemma2_2b, config_gemma2_9b
 
+    error = None
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # This environment pins JAX_PLATFORMS=axon via sitecustomize; honor
         # an explicit cpu request before the backend initializes.
         jax.config.update("jax_platforms", "cpu")
-    on_tpu = jax.default_backend() not in ("cpu",)
+        on_tpu = False
+    else:
+        backend = probe_backend()
+        if backend == "unavailable":
+            # TPU unreachable: emit a structured record from a CPU smoke
+            # run instead of rc=1 (BENCH_r03 died at backend init when the
+            # axon tunnel was down).
+            error = "tpu_unavailable"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            jax.config.update("jax_platforms", "cpu")
+            on_tpu = False
+        else:
+            on_tpu = backend == "tpu"
     if on_tpu:
         batch, seq, steps = 16, 1024, 64
     else:  # smoke-test mode off-TPU
@@ -235,14 +278,30 @@ def main() -> None:
         try_extra("gemma2_27b_nuq4_decode_b4", lambda: slim(measure_decode(
             config_gemma2_27b(), "nuq4", "i8", 4, 512, 16)))
 
-    print(json.dumps({
+    record = {
         "metric": "gemma2_2b_i8_decode_b16",
         "value": head["tok_s"],
         "unit": "tok/s",
         "vs_baseline": head["vs_sol"],
         "extra": extra,
-    }))
+    }
+    if error:
+        record["error"] = error
+        record["note"] = "TPU unreachable; values are CPU smoke-mode only"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver parses stdout; a
+        # traceback with rc!=0 loses the round's bench slot entirely.
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "gemma2_2b_i8_decode_b16", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        sys.exit(0)

@@ -841,6 +841,7 @@ def matmul(
         blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
 
     post_w = None
+    pre_widen_blocks = blocks
     if epilogue_norm is not None and use_pallas:
         # Force one N step; shrink bk until the widened B block fits.
         # Shrink steps must stay codec-legal: a bk that _legalize_bk
@@ -911,12 +912,12 @@ def matmul(
                 add = add2d
                 add2d = None
             if post_w is not None:
-                # XLA epilogue below; restore the plain tuned blocks the
-                # single-N-step widening replaced.
+                # XLA epilogue below; restore the blocks in effect before
+                # the single-N-step widening (the caller's explicit blocks
+                # if given — ADVICE r3: re-deriving from the autotune
+                # cache silently overrode e.g. tpu_parity's tiles).
                 post_w = None
-                from gemma_tpu.ops.autotune import best_blocks
-
-                blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+                blocks = pre_widen_blocks
     if use_pallas:
         out = _matmul_pallas(
             a, w.arrays, w.kind, w.shape, float(w.scale), *blocks,
@@ -1067,7 +1068,11 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
         @pl.when(j == n_j_steps - 1)
         def _():
             tok_ref[...] = jnp.broadcast_to(bi_new, tok_ref.shape)
-            prob_ref[...] = jnp.broadcast_to(1.0 / s_new, prob_ref.shape)
+            # A fully-banned allowed_mask leaves s_new = 0; clamp so the
+            # degenerate TokenSet yields a huge-but-finite prob instead of
+            # inf leaking into accept-probability logic (ADVICE r3).
+            prob_ref[...] = jnp.broadcast_to(
+                1.0 / jnp.maximum(s_new, jnp.float32(1e-30)), prob_ref.shape)
             # The capped max — with 1/prob (= sum-exp) this is the full
             # online-softmax state, so vocab-sharded TP shards can merge
             # heads with O(M) collectives instead of gathering [M, vocab]

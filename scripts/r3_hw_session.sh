@@ -3,8 +3,11 @@
 #
 #   bash scripts/r3_hw_session.sh [stage...]
 #
-# Stages (default: all, in order): parity tune27b tune9b tune256 ablate bench
-# Each stage logs to /tmp/r3hw/<stage>.log; parity failure aborts the rest.
+# Stages (default: all, in order):
+#   parity aotmc tune16 tune27b tune9b tune256 ablate fusedab bench
+# Each stage logs to /tmp/r3hw/<stage>.log.  A parity failure is RECORDED
+# and the session continues (tunnel windows are scarce; sweeps/bench data
+# is still worth collecting) — check parity.log before trusting kernels.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3hw
@@ -21,9 +24,8 @@ for s in $stages; do
     case $s in
     parity)
         # Native-lowering parity for every round-3 kernel (fused
-        # prologue/epilogue, top1 head, i4) — abort on failure.
-        # Do NOT abort the session on failure: tunnel windows are
-        # scarce — record the failure and still collect sweeps/bench.
+        # prologue/epilogue, top1 head, i4).  Record-and-continue on
+        # failure (see header).
         run parity 3600 scripts/tpu_parity.py || echo "PARITY FAILED — investigate /tmp/r3hw/parity.log" ;;
     aotmc)
         # AOT-compile the round-3 SP/CP/PP shard_map bodies for a v5e 2x4
@@ -49,7 +51,7 @@ for s in $stages; do
     fusedab)
         # A/B the fused write+attend+rope kernel vs composed kernels
         # (GEMMA_FUSED_DECODE=0): headline decode only.
-        GEMMA_FUSED_DECODE=0 run bench_nofuse 5400 bench.py ;;
+        GEMMA_FUSED_DECODE=0 run fusedab 5400 bench.py ;;
     bench)
         run bench 10800 bench.py ;;
     *) echo "unknown stage $s"; exit 2 ;;

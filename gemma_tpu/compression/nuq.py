@@ -50,48 +50,85 @@ def packed_end(num_values: int) -> int:
 
 
 def _cluster_group(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Optimal 1-D k-means of one group; returns (centers[16], indices[len(x)]).
+    """Optimal 1-D k-means of one group; returns (centers[16], indices[256]).
 
-    Mirrors NuqClustering::ClusterExactL2 (nuq-inl.h:246-380): DP over sorted
-    values with prefix-sum interval costs, centers = interval means (ascending),
-    unused clusters zeroed at the low end.
+    Mirrors NuqClustering::ClusterExactL2 (nuq-inl.h:246-380) BIT-EXACTLY
+    (verified against the reference's own binary in tests/test_ref_parity.py):
+
+    * Sort keys carry the original index in the low 8 mantissa bits
+      (FloatPayload, nuq-inl.h:58-77), so values that differ only in those
+      bits order by index, and the cost/center sums use the payload-CLEARED
+      (truncated) values.
+    * Partial groups are padded to 256 with the raw max value; indices are
+      returned for ALL 256 positions -- the dead trailing nibble of an odd
+      remainder holds the first padding element's cluster, as the reference
+      writes it (nuq-inl.h:673-685).
+    * The DP cost table is computed in f32 with the reference's exact
+      operation order (f32 prefix sums narrowed from a running double,
+      reciprocal multiply, separate mul/sub/add roundings -- the baseline
+      non-FMA target semantics, matching the parity-harness build).
+      Centers use the double prefix sums (dcumsum_, nuq-inl.h:92-101).
     """
     num = x.shape[0]
     assert 0 < num <= GROUP_SIZE
+    x = np.ascontiguousarray(x, dtype=np.float32)
     if num < GROUP_SIZE:
-        # Pad with the max so the padding joins an existing cluster.
-        x = np.concatenate([x, np.full(GROUP_SIZE - num, x.max(), x.dtype)])
-    order = np.argsort(x, kind="stable")
-    sorted_x = x[order].astype(np.float64)
-
+        # Pad with the max so the padding joins an existing cluster
+        # (nuq-inl.h:262-272).
+        x = np.concatenate(
+            [x, np.full(GROUP_SIZE - num, x.max(), np.float32)])
     n = GROUP_SIZE
-    csum = np.zeros(n + 1)
-    csum2 = np.zeros(n + 1)
-    np.cumsum(sorted_x, out=csum[1:])
-    np.cumsum(sorted_x * sorted_x, out=csum2[1:])
 
-    # cost[f, l] = squared-L2 cost of one cluster covering sorted[f..l].
-    first_idx = np.arange(n)[:, None]
-    last_idx = np.arange(n)[None, :]
-    length = (last_idx - first_idx + 1).astype(np.float64)
+    # FloatPayload::Set: clear low 8 mantissa bits, OR in the index.
+    bits = x.view(np.uint32)
+    keys = ((bits & np.uint32(~np.uint32(n - 1)))
+            | np.arange(n, dtype=np.uint32)).view(np.float32)
+    sort_perm = np.argsort(keys, kind="stable")  # all keys distinct
+    sorted_keys = keys[sort_perm]
+    order = (sorted_keys.view(np.uint32) & np.uint32(n - 1)).astype(np.int64)
+    # Payload-cleared sorted values: the quantities every sum sees.
+    clean = (sorted_keys.view(np.uint32)
+             & np.uint32(~np.uint32(n - 1))).view(np.float32)
+
+    # Prefix sums: a running double, narrowed to f32 per element for the
+    # cost table (cumsum_/cumsum2_), kept double for centers (dcumsum_).
+    dcsum = np.zeros(n + 1)
+    np.cumsum(clean.astype(np.float64), out=dcsum[1:])
+    dcsum2 = np.zeros(n + 1)
+    np.cumsum(clean.astype(np.float64) ** 2, out=dcsum2[1:])
+    csum = dcsum.astype(np.float32)
+    csum2 = dcsum2.astype(np.float32)
+
+    # cost[f, l] in f32, reference operation order (SumCosts,
+    # nuq-inl.h:149-174): mu = sum * (1/len); l2 = mu*(mu*len - 2*sum) + sum2
+    # with each step rounded separately (no FMA on the baseline target).
+    first_idx = np.arange(n, dtype=np.int64)[:, None]
+    last_idx = np.arange(n, dtype=np.int64)[None, :]
+    length = (last_idx - first_idx + 1).astype(np.float32)
     valid = length > 0
     with np.errstate(divide="ignore", invalid="ignore"):
-        seg_sum = csum[last_idx + 1] - csum[first_idx]
-        seg_sum2 = csum2[last_idx + 1] - csum2[first_idx]
-        mu = seg_sum / length
-        cost = seg_sum2 - mu * (2.0 * seg_sum - mu * length)
-    cost = np.where(valid, np.maximum(cost, 0.0), np.inf)
+        inv_len = (np.float32(1.0) / length).astype(np.float32)
+        seg_sum = (csum[last_idx + 1] - csum[first_idx]).astype(np.float32)
+        seg_sum2 = (csum2[last_idx + 1]
+                    - csum2[first_idx]).astype(np.float32)
+        mu = (seg_sum * inv_len).astype(np.float32)
+        two_sum = (seg_sum + seg_sum).astype(np.float32)
+        t = ((mu * length).astype(np.float32) - two_sum).astype(np.float32)
+        cost = ((mu * t).astype(np.float32) + seg_sum2).astype(np.float32)
+    cost = np.where(cost < 0, np.float32(0.0), cost)  # ZeroIfNegative
+    cost = np.where(valid, cost, np.float32(np.inf))
 
-    # costs[k, l] = min cost of clustering sorted[0..l] into k+1 clusters.
-    costs = np.empty((CLUSTERS, n))
+    # costs[k, l] = min cost of clustering sorted[0..l] into k+1 clusters,
+    # accumulated in f32 like the reference's AlignedMatrix<float>.
+    costs = np.empty((CLUSTERS, n), dtype=np.float32)
     argmin = np.zeros((CLUSTERS, n), dtype=np.int64)
     costs[0] = cost[0]
     for k in range(1, CLUSTERS):
         # candidate[f, l] = costs[k-1, f-1] + cost[f, l] for f in [1, l].
-        cand = costs[k - 1, :-1][:, None] + cost[1:, :]
-        best = np.argmin(cand, axis=0)
+        cand = (costs[k - 1, :-1][:, None] + cost[1:, :]).astype(np.float32)
+        best = np.argmin(cand, axis=0)  # first minimum, like strict-Lt scan
         best_cost = cand[best, np.arange(n)]
-        keep_prev = costs[k - 1] <= best_cost
+        keep_prev = costs[k - 1] <= best_cost  # ties keep the k-1 solution
         costs[k] = np.where(keep_prev, costs[k - 1], best_cost)
         argmin[k] = np.where(keep_prev, argmin[k - 1], best + 1)
 
@@ -101,8 +138,8 @@ def _cluster_group(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     last = n - 1
     for k in range(CLUSTERS - 1, -1, -1):
         start = int(argmin[k, last])
-        # Mean from the prefix sums (bit-identical to the native encoder).
-        centers[k] = np.float32((csum[last + 1] - csum[start])
+        # Center = double-precision mean of the truncated values.
+        centers[k] = np.float32((dcsum[last + 1] - dcsum[start])
                                 / (last - start + 1))
         indices_sorted[start : last + 1] = k
         if start == 0:
@@ -111,7 +148,7 @@ def _cluster_group(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     indices = np.zeros(n, dtype=np.uint8)
     indices[order] = indices_sorted
-    return centers, indices[:num]
+    return centers, indices
 
 
 def encode(values: np.ndarray) -> np.ndarray:
@@ -146,9 +183,10 @@ def encode(values: np.ndarray) -> np.ndarray:
             base = g_full * GROUP_BYTES
             centers, idx = _cluster_group(flat[g_full * GROUP_SIZE :])
             out[base : base + CLUSTERS] = sfp.encode(centers)
-            padded = np.zeros(GROUP_SIZE, dtype=np.uint8)
-            padded[:tail] = idx
-            tail_nib = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+            # idx covers all 256 positions (padding included): an odd tail's
+            # dead nibble carries the first padding element's cluster, byte-
+            # matching the reference stream (nuq-inl.h:673-685).
+            tail_nib = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
             out[base + CLUSTERS : base + CLUSTERS + (-(-tail // 2))] = \
                 tail_nib[: -(-tail // 2)]
         return out
@@ -158,10 +196,10 @@ def encode(values: np.ndarray) -> np.ndarray:
         centers, idx = _cluster_group(flat[lo:hi])
         base = g * GROUP_BYTES
         out[base : base + CLUSTERS] = sfp.encode(centers)
-        # Two 4-bit indices per byte, low nibble first (NibbleCodec order).
-        padded = np.zeros(GROUP_SIZE, dtype=np.uint8)
-        padded[: idx.shape[0]] = idx
-        nib = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+        # Two 4-bit indices per byte, low nibble first (NibbleCodec order);
+        # idx covers all 256 positions so an odd remainder's dead nibble
+        # matches the reference stream byte-for-byte.
+        nib = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
         n_bytes = -(-(hi - lo) // 2)
         out[base + CLUSTERS : base + CLUSTERS + n_bytes] = nib[:n_bytes]
     return out
@@ -269,5 +307,5 @@ def to_device_layout(
             lo, hi = g * GROUP_SIZE, min((g + 1) * GROUP_SIZE, cols)
             centers, idx = _cluster_group(values[r, lo:hi])
             tables[r, g] = sfp.decode(sfp.encode(centers))
-            codes[r, lo:hi] = idx
+            codes[r, lo:hi] = idx[: hi - lo]  # idx covers all 256 positions
     return tables, codes

@@ -26,7 +26,7 @@ def lib():
             os.makedirs(_CACHE_DIR, exist_ok=True)
             subprocess.run(
                 ["g++", "-std=c++17", "-shared", "-fPIC", "-O3",
-                 "-march=native", "-pthread",
+                 "-march=native", "-ffp-contract=off", "-pthread",
                  _SRC, "-o", so],
                 check=True, capture_output=True)
         handle = ctypes.CDLL(so)

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Build the reference-parity harnesses against the read-only reference tree
+# and the TF-vendored Highway headers.  Produces ref_codec and ref_fields
+# next to this script.  Idempotent; used by tests/test_ref_parity.py.
+#
+# ref_codec:  drives the reference's SFP/NUQ/I8 codecs (stdin/stdout).
+# ref_fields: serializes the reference's ModelConfig via its fields.h
+#             wire format.
+set -eu
+cd "$(dirname "$0")"
+REF=${REF:-/root/reference}
+HWY=${HWY:-$(python - <<'EOF'
+import pathlib, tensorflow as tf  # noqa
+print(pathlib.Path(tf.__file__).parent / "include/external/com_google_highway")
+EOF
+)}
+CXXFLAGS="-std=c++17 -O2 -DHWY_HEADER_ONLY -w"
+g++ $CXXFLAGS -I shim -I "$HWY" -I "$REF" \
+    ref_codec.cc shim/hwy_alloc_shim.cc -o ref_codec
+g++ $CXXFLAGS -DGEMMA_DISABLE_TOPOLOGY=1 -ffunction-sections -fdata-sections \
+    -I shim -I "$HWY" -I "$REF" \
+    ref_fields.cc "$REF/gemma/configs.cc" "$REF/io/fields.cc" \
+    shim/hwy_alloc_shim.cc -Wl,--gc-sections -o ref_fields
+echo "built $(pwd)/{ref_codec,ref_fields}"

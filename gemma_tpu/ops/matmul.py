@@ -576,13 +576,18 @@ def _pad2(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
 
 def _legalize_bk(kind: str, bk: int, k_dim: int) -> int:
     """K-blocked nuq4 needs per-step table slices that tile exactly
-    (block_k % 2048 == 0); otherwise promote to full-K.  Nibble-packed i4
-    blocks must cover whole 256-element packing blocks."""
-    if kind == "i4":
-        kp = round_up(k_dim, 256)
+    (block_k % 2048 == 0); otherwise promote to full-K.  K-blocked i4/i8
+    grids give the pre-transposed group-scale arrays (gk, bn) blocks, and
+    Mosaic needs the sublane dim divisible by 8 unless the block covers
+    the whole array — so block_k % 1024 == 0 (gk = bk/128 >= 8) or
+    full-K (found by the round-4 hardware parity run: bk=512 i4 blocks
+    crashed native lowering with a (4, bn) scale block)."""
+    if kind in ("i4", "i8"):
+        kp = round_up(k_dim, 256 if kind == "i4" else 128)
         if bk >= kp:
             return kp
-        return max(256, bk // 256 * 256)
+        legal = bk // 1024 * 1024
+        return legal if legal >= 1024 else kp
     if kind != "nuq4":
         return bk
     kp = round_up(k_dim, 256)
@@ -850,7 +855,7 @@ def matmul(
         bm, _, bk = blocks
         bn = round_up(w.n, 128)
         b_bytes = CODE_BYTES[w.kind]
-        k_align = {"nuq4": 2048, "i4": 256}.get(w.kind, 128)
+        k_align = {"nuq4": 2048, "i4": 1024, "i8": 1024}.get(w.kind, 128)
 
         def fits(bk_):
             return (2 * (bm * bk_ * 4 + bn * bk_ * b_bytes) + bn * bk_ * 2

@@ -39,6 +39,10 @@ class Session:
         self.cache = cache
         self.abs_pos = 0
         self.last_access = time.monotonic()
+        # Serializes turns of ONE conversation (its KV rows are adopted by
+        # a batcher slot for the turn's duration); different sessions and
+        # sessionless requests still share decode waves.
+        self.lock = threading.Lock()
 
 
 class GemmaService:
@@ -47,9 +51,10 @@ class GemmaService:
     continuous=True replaces the single inference mutex with the
     continuous-batching scheduler (engine/serving.py): concurrent requests
     share decode steps instead of queueing behind each other.  Requests
-    with a sessionId (KV reuse, api_server.cc:89-97) fall back to the
-    serialized single-query path — they keep working, they just do not
-    share decode waves with batched requests.
+    with a sessionId (KV reuse, api_server.cc:89-97) join the same decode
+    waves: the batcher adopts the session's KVCache into a slot for the
+    turn and hands the rows back at retirement (VERDICT r3 #5; the
+    reference serializes everything behind one mutex, api_server.cc:56-97).
     """
 
     def __init__(self, gemma, model_name: str = "gemma",
@@ -84,43 +89,68 @@ class GemmaService:
         prompt = self.wrap_messages(request["contents"])
         gen_cfg = request.get("generationConfig", {})
         max_tokens = int(gen_cfg.get("maxOutputTokens", 8192))
-        tokens = wrap_and_tokenize(
-            gemma.tokenizer, gemma.chat_template, gemma.config.wrapping, 0,
-            prompt)
 
-        fifo: queue.Queue = queue.Queue()
+        session_id = request.get("sessionId")
+        session = (self.get_or_create_session(session_id)
+                   if session_id else None)
+        if session is not None:
+            # One turn of a conversation at a time (its rows live in a
+            # batcher slot for the turn); other sessions/requests still
+            # share the same decode waves.
+            session.lock.acquire()
+        try:
+            start = session.abs_pos if session is not None else 0
+            tokens = wrap_and_tokenize(
+                gemma.tokenizer, gemma.chat_template, gemma.config.wrapping,
+                start, prompt)
 
-        def on_token(req, tok) -> bool:
-            fifo.put(tok)
-            return True
+            fifo: queue.Queue = queue.Queue()
 
-        req = Request(tokens, max_tokens=max_tokens, on_token=on_token)
-        with self._batcher_wake:
-            self.batcher.submit(req)
-            self._batcher_wake.notify()
+            def on_token(req, tok) -> bool:
+                fifo.put(tok)
+                return True
 
-        pieces: list[str] = []
-        generated = 0
-        while True:
-            try:
-                tok = fifo.get(timeout=0.05)
-            except queue.Empty:
-                if req.done:
+            req = Request(tokens, max_tokens=max_tokens, on_token=on_token,
+                          cache=session.cache if session is not None
+                          else None,
+                          start_pos=start)
+            with self._batcher_wake:
+                self.batcher.submit(req)
+                self._batcher_wake.notify()
+
+            pieces: list[str] = []
+            generated = 0
+            while True:
+                try:
+                    tok = fifo.get(timeout=0.05)
+                except queue.Empty:
+                    if req.done:
+                        break
+                    continue
+                generated += 1
+                if gemma.config.is_eos(tok):
                     break
-                continue
-            generated += 1
-            if gemma.config.is_eos(tok):
-                break
-            text = gemma.tokenizer.decode([tok])
-            pieces.append(text)
-            if on_chunk is not None:
-                on_chunk(text)
+                text = gemma.tokenizer.decode([tok])
+                pieces.append(text)
+                if on_chunk is not None:
+                    on_chunk(text)
+            while not req.done:  # cache hand-back precedes done
+                time.sleep(0.005)
+            if session is not None:
+                # Mirrors the serialized path's abs_pos accounting
+                # (prompt tokens + every generated token incl. EOS).
+                session.abs_pos = start + len(tokens) + len(req.output)
+        finally:
+            if session is not None:
+                session.lock.release()
         response = api_response("".join(pieces), finished=True)
         response["usageMetadata"] = {
             "promptTokenCount": len(tokens),
             "candidatesTokenCount": generated,
             "totalTokenCount": len(tokens) + generated,
         }
+        if session_id:
+            response["sessionId"] = session_id
         return response
 
     def get_or_create_session(self, session_id: str) -> Session:
@@ -157,7 +187,7 @@ class GemmaService:
         """Run one generateContent request; stream chunks via on_chunk."""
         if "contents" not in request:
             raise ValueError("Missing 'contents' field")
-        if self.batcher is not None and not request.get("sessionId"):
+        if self.batcher is not None:
             return self._generate_continuous(request, on_chunk=on_chunk)
         session_id = request.get("sessionId") or f"session_{uuid.uuid4().hex}"
         prompt = self.wrap_messages(request["contents"])
@@ -299,8 +329,10 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--continuous", action="store_true",
-                        help="continuous batching (no sessions; concurrent "
-                             "requests share decode steps)")
+                        help="continuous batching: concurrent requests — "
+                             "including sessionId follow-ups, whose KV "
+                             "caches are adopted into slots — share decode "
+                             "steps")
     ns = parser.parse_args(argv)
     loader = extract(ns, LoaderArgs)
     inference = extract(ns, InferenceArgs)

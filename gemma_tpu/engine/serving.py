@@ -14,6 +14,12 @@ the TPU-native upgrade called out in SURVEY.md §2.7/§7 stage 5:
     chunk (VERDICT r1 weak #7).
   - per-slot ring KV caches inside one batched cache tensor.
   - streaming callbacks + EOS/max-token retirement per slot.
+  - session continuation: a request carrying an existing batch-1 KVCache
+    + start_pos is admitted by COPYING its rows into a slot (no
+    re-prefill) and shares decode steps with everything else; the slot's
+    rows are copied back at retirement (VERDICT r3 #5 — the reference
+    serializes all session requests behind one mutex,
+    api_server.cc:56-97).
 
 Usage:
     batcher = ContinuousBatcher(engine, slots=16)
@@ -24,14 +30,17 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 from collections import deque
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gemma_tpu.engine.engine import GemmaEngine
+from gemma_tpu.models.kv_cache import KVCache
 
 _ids = itertools.count()
 
@@ -44,6 +53,17 @@ class Request:
     request_id: int = dataclasses.field(default_factory=lambda: next(_ids))
     output: list = dataclasses.field(default_factory=list)
     done: bool = False
+    # Session continuation (VERDICT r3 #5): a batch-1 KVCache whose rows
+    # already hold positions [0, start_pos) — the slot ADOPTS it (one
+    # device-side row-block copy, no re-prefill) and prompt_ids carry only
+    # the NEW turn's tokens.  The request then shares decode waves with
+    # every other slot; at retirement the slot's rows are copied back into
+    # `cache` (rebound in place via KVCache.assign) and end_pos is set to
+    # the next unwritten position — beats the reference's global inference
+    # mutex (api_server.cc:56-97), which serializes session requests.
+    cache: KVCache | None = None
+    start_pos: int = 0
+    end_pos: int = 0
 
 
 @dataclasses.dataclass
@@ -55,11 +75,27 @@ class _Slot:
     # Prompt tokens not yet written to KV (admission in progress); the
     # slot joins decode once this drains to the final token.
     filled: int = 0
+    base: int = 0           # absolute position of prompt_ids[0]
 
     @property
     def admitting(self) -> bool:
         return (self.request is not None
                 and self.filled < len(self.request.prompt_ids) - 1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(batched: KVCache, single: KVCache, i) -> KVCache:
+    """Copy a batch-1 cache's rows into slot i of the batched cache."""
+    return jax.tree.map(
+        lambda b, s: jax.lax.dynamic_update_slice_in_dim(b, s, i, 0),
+        batched, single)
+
+
+@jax.jit
+def _extract_slot(batched: KVCache, i) -> KVCache:
+    """Slot i's rows as a batch-1 cache (pure read, no donation)."""
+    return jax.tree.map(
+        lambda b: jax.lax.dynamic_slice_in_dim(b, i, 1, 0), batched)
 
 
 class ContinuousBatcher:
@@ -78,6 +114,21 @@ class ContinuousBatcher:
     # --- public API ---
 
     def submit(self, request: Request) -> Request:
+        if request.cache is not None:
+            if (jax.tree_util.tree_structure(request.cache)
+                    != jax.tree_util.tree_structure(self.cache)):
+                raise ValueError(
+                    "session cache layout differs from the batcher's "
+                    "(seq_len / kv kind / pool split must match the "
+                    "engine runtime the batcher was built with)")
+            bad = [
+                (s.shape, b.shape)
+                for s, b in zip(jax.tree.leaves(request.cache),
+                                jax.tree.leaves(self.cache))
+                if s.shape != (1,) + b.shape[1:] or s.dtype != b.dtype]
+            if bad:
+                raise ValueError(f"session cache must be batch-1 with the "
+                                 f"batcher's per-slot shape; got {bad}")
         self._queue.append(request)
         return request
 
@@ -104,15 +155,21 @@ class ContinuousBatcher:
 
     def _admit(self) -> None:
         """Assign queued requests to free slots; prefill happens in
-        chunk-limited rounds via _advance_admissions."""
+        chunk-limited rounds via _advance_admissions.  Session requests
+        (req.cache) first adopt their history rows into the slot — one
+        device copy instead of re-prefilling start_pos tokens."""
         for i, slot in enumerate(self._slots):
             if slot.request is None and self._queue:
                 req = self._queue.popleft()
                 slot.request = req
                 slot.filled = 0
-                slot.pos = len(req.prompt_ids) - 1
+                slot.base = req.start_pos
+                slot.pos = req.start_pos + len(req.prompt_ids) - 1
                 slot.prev_token = int(req.prompt_ids[-1])
                 slot.remaining = req.max_tokens
+                if req.cache is not None:
+                    self.cache.assign(_insert_slot(self.cache, req.cache,
+                                                   jnp.int32(i)))
 
     def _advance_admissions(self) -> None:
         """Prefill at most `admission_chunk` tokens of every admitting slot
@@ -136,7 +193,7 @@ class ContinuousBatcher:
             lo = self._slots[i].filled
             hi = min(lo + c, len(ids) - 1)
             prompts[i] = list(ids[lo : hi + 1])
-            start_pos[i] = lo
+            start_pos[i] = self._slots[i].base + lo
             self._slots[i].filled = hi
         cache, _ = self.engine.prefill(prompts, self.cache,
                                        start_pos=start_pos)
@@ -182,5 +239,11 @@ class ContinuousBatcher:
             slot.pos += 1
             slot.remaining -= 1
             if config.is_eos(tok) or slot.remaining <= 0 or not keep:
+                if req.cache is not None:
+                    # Hand the slot's rows back to the session cache
+                    # BEFORE signalling done (waiters read the cache).
+                    req.cache.assign(_extract_slot(self.cache,
+                                                   jnp.int32(i)))
+                    req.end_pos = slot.pos + 1
                 req.done = True
                 slot.request = None

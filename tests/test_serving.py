@@ -175,3 +175,59 @@ def test_admission_ring_aliasing_regression():
     batcher2.run_until_idle()
     assert s2.done and l2.done
     assert l2.output == want
+
+
+def test_session_joins_decode_waves(engine):
+    """VERDICT r3 #5: a sessionId follow-up (existing KVCache + abs_pos)
+    is admitted as a slot — history adopted by a device copy, prefill of
+    only the new turn — and shares decode steps with concurrent batch
+    requests; outputs bit-match the serialized two-turn conversation."""
+    rng = np.random.default_rng(5)
+    turn1 = [int(t) for t in rng.integers(2, 100, 5)]
+    turn2 = [int(t) for t in rng.integers(2, 100, 4)]
+    other = [int(t) for t in rng.integers(2, 100, 6)]
+
+    # Oracle: serialized two-turn conversation on one cache.
+    oracle_cache = engine.new_cache(1, 48)
+    out1 = engine.generate(turn1, max_generated_tokens=4,
+                           cache=oracle_cache, start_pos=0)
+    pos1 = len(turn1) + len(out1)
+    want2 = engine.generate(turn2, max_generated_tokens=4,
+                            cache=oracle_cache, start_pos=pos1)
+
+    # Continuous path: turn 1 through the batcher with a session cache.
+    session_cache = engine.new_cache(1, 48)
+    batcher = ContinuousBatcher(engine, slots=2, seq_len=48)
+    r1 = batcher.submit(Request(turn1, max_tokens=4, cache=session_cache,
+                                start_pos=0))
+    batcher.run_until_idle()
+    assert r1.output == out1
+    assert r1.end_pos == pos1
+
+    # Turn 2 (adopts the session cache) next to an unrelated request.
+    r2 = batcher.submit(Request(turn2, max_tokens=4, cache=session_cache,
+                                start_pos=r1.end_pos))
+    r3 = batcher.submit(Request(other, max_tokens=4))
+    batcher._admit()
+    batcher._advance_admissions()
+    assert batcher.decoding == 2, "session follow-up must share the wave"
+    batcher.run_until_idle()
+    assert r2.output == want2
+    assert r3.output == engine.generate(other, max_generated_tokens=4)
+    # The handed-back cache supports a THIRD serialized turn.
+    turn3 = [int(t) for t in rng.integers(2, 100, 3)]
+    want3 = engine.generate(turn3, max_generated_tokens=3,
+                            cache=oracle_cache, start_pos=r2.end_pos)
+    got3 = engine.generate(turn3, max_generated_tokens=3,
+                           cache=session_cache, start_pos=r2.end_pos)
+    assert got3 == want3
+
+
+def test_session_cache_layout_guard(engine):
+    """Mismatched session caches are rejected at submit, not mid-wave."""
+    import pytest
+
+    batcher = ContinuousBatcher(engine, slots=2, seq_len=48)
+    wrong = engine.new_cache(2, 48)  # batch-2: not a session cache
+    with pytest.raises(ValueError):
+        batcher.submit(Request([2, 3], cache=wrong, start_pos=0))

@@ -58,7 +58,7 @@ def _sublane(dtype) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _kv_write_kernel(w: int, rows_ref, new_ref, kv_ref, o_ref):
+def _kv_write_kernel(w: int, lay_ref, rows_ref, new_ref, kv_ref, o_ref):
     b = pl.program_id(0)
     sub = rows_ref[b] % w
     r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
@@ -66,42 +66,43 @@ def _kv_write_kernel(w: int, rows_ref, new_ref, kv_ref, o_ref):
     o_ref[...] = jnp.where(r == sub, new.astype(o_ref.dtype), kv_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("layer_idx", "interpret"),
+@functools.partial(jax.jit, static_argnames=("interpret",),
                    donate_argnums=0)
-def _kv_write_pallas(kv, newkv, rows, layer_idx: int,
+def _kv_write_pallas(kv, newkv, rows, layer_idx,
                      interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     w = _sublane(kv.dtype)
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(_kv_write_kernel, w)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, 2, h, d), lambda i, rows: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 2, h, d), lambda i, lay, rows: (i, 0, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, rows: (i, layer_idx, 0, 0, rows[i] // w, 0),
+                    lambda i, lay, rows: (i, lay[0], 0, 0, rows[i] // w, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, 2, h, w, d),
-                lambda i, rows: (i, layer_idx, 0, 0, rows[i] // w, 0),
+                lambda i, lay, rows: (i, lay[0], 0, 0, rows[i] // w, 0),
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(kv.shape, kv.dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(rows, newkv, kv)
+    )(lay, rows, newkv, kv)
 
 
-def _kv_write_q_kernel(w: int, h: int, rows_ref, newsc_ref, new_ref,
-                       kv_ref, sc_ref, okv_ref, osc_ref):
+def _kv_write_q_kernel(w: int, h: int, lay_ref, rows_ref, newsc_ref,
+                       new_ref, kv_ref, sc_ref, okv_ref, osc_ref):
     b = pl.program_id(0)
     row = rows_ref[b]
     sub = row % w
@@ -121,41 +122,42 @@ def _kv_write_q_kernel(w: int, h: int, rows_ref, newsc_ref, new_ref,
                                                old)
 
 
-@functools.partial(jax.jit, static_argnames=("layer_idx", "interpret"),
+@functools.partial(jax.jit, static_argnames=("interpret",),
                    donate_argnums=(0, 1))
-def _kv_write_q_pallas(kv, sc, newkv, newsc, rows, layer_idx: int,
+def _kv_write_q_pallas(kv, sc, newkv, newsc, rows, layer_idx,
                        interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     w = _sublane(kv.dtype)
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(_kv_write_q_kernel, w, h)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, 2, h, d),
-                             lambda i, rows, nsc: (i, 0, 0, 0)),
+                             lambda i, lay, rows, nsc: (i, 0, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, rows, nsc: (i, layer_idx, 0, 0,
-                                          rows[i] // w, 0),
+                    lambda i, lay, rows, nsc: (i, lay[0], 0, 0,
+                                               rows[i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, sc.shape[-1]),
-                    lambda i, rows, nsc: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, rows, nsc: (i, lay[0], 0, 0, 0, 0),
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, rows, nsc: (i, layer_idx, 0, 0,
-                                          rows[i] // w, 0),
+                    lambda i, lay, rows, nsc: (i, lay[0], 0, 0,
+                                               rows[i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, sc.shape[-1]),
-                    lambda i, rows, nsc: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, rows, nsc: (i, lay[0], 0, 0, 0, 0),
                 ),
             ],
         ),
@@ -163,12 +165,12 @@ def _kv_write_q_pallas(kv, sc, newkv, newsc, rows, layer_idx: int,
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
             jax.ShapeDtypeStruct(sc.shape, sc.dtype),
         ],
-        input_output_aliases={3: 0, 4: 1},
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(rows, newsc, newkv, kv, sc)
+    )(lay, rows, newsc, newkv, kv, sc)
 
 
 def kv_write_decode(cache, layer_idx: int, positions, k, v, valid=None,
@@ -211,9 +213,9 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
                        att_cap: float, s_alloc: int, quant: bool,
                        *refs):
     if quant:
-        pos_ref, q_ref, k_ref, v_ref, sck_ref, scv_ref, o_ref = refs
+        lay_ref, pos_ref, q_ref, k_ref, v_ref, sck_ref, scv_ref, o_ref = refs
     else:
-        pos_ref, q_ref, k_ref, v_ref, o_ref = refs
+        lay_ref, pos_ref, q_ref, k_ref, v_ref, o_ref = refs
         sck_ref = scv_ref = None
     b = pl.program_id(0)
     newest = pos_ref[b]
@@ -253,14 +255,14 @@ def _decode_att_kernel(h: int, groups: int, seq_len: int, window: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
-                     "interpret"),
+    static_argnames=("seq_len", "window", "att_cap", "interpret"),
 )
-def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
+def _decode_att_pallas(kv, q, pos, layer_idx, seq_len: int,
                        window: int, att_cap: float,
                        interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc,
@@ -268,41 +270,42 @@ def _decode_att_pallas(kv, q, pos, layer_idx: int, seq_len: int,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, h, groups, d), lambda i, pos: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, groups, d),
+                             lambda i, lay, pos: (i, 0, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 1, 0, 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, h * groups, d), lambda i, pos: (i, 0, 0)),
+                (1, h * groups, d), lambda i, lay, pos: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(pos, q, kv, kv)
+    )(lay, pos, q, kv, kv)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap",
-                     "interpret"),
+    static_argnames=("seq_len", "window", "att_cap", "interpret"),
 )
-def _decode_att_q_pallas(kv, sc, q, pos, layer_idx: int, seq_len: int,
+def _decode_att_q_pallas(kv, sc, q, pos, layer_idx, seq_len: int,
                          window: int, att_cap: float,
                          interpret: bool = False):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
     s_sc = sc.shape[-1]
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _decode_att_kernel, h, groups, seq_len, window, att_cap, s_alloc,
@@ -310,36 +313,37 @@ def _decode_att_q_pallas(kv, sc, q, pos, layer_idx: int, seq_len: int,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, h, groups, d), lambda i, pos: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, groups, d),
+                             lambda i, lay, pos: (i, 0, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, pos: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, pos: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, lay, pos: (i, lay[0], 1, 0, 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, h * groups, d), lambda i, pos: (i, 0, 0)),
+                (1, h * groups, d), lambda i, lay, pos: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(pos, q, kv, kv, sc, sc)
+    )(lay, pos, q, kv, kv, sc, sc)
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +399,7 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
     write + attend + the rope/norm elementwise kernel (gemma.cc:83-116
     runs the whole pass per layer for the same reason)."""
     i = 0
+    lay_ref = refs[i]; i += 1
     rows_ref = refs[i]; i += 1
     pos_ref = refs[i]; i += 1
     newsc_ref = None
@@ -551,11 +556,11 @@ def _rope_specs(pe, rope_arrays):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap", "pe",
+    static_argnames=("seq_len", "window", "att_cap", "pe",
                      "qscale", "interpret"),
     donate_argnums=0,
 )
-def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
+def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx,
                          seq_len: int, window: int, att_cap: float,
                          pe: int | None = None, qscale: float = 1.0,
                          inv_ts=None, knorm=None, qnorm=None,
@@ -563,6 +568,7 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
     w = _sublane(kv.dtype)
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _decode_fused_kernel, h, groups, seq_len, window, att_cap,
@@ -573,35 +579,35 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
     o, new_pool = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, h, groups, d),
-                             lambda i, rows, pos: (i, 0, 0, 0)),
+                             lambda i, lay, rows, pos: (i, 0, 0, 0)),
                 pl.BlockSpec((1, 2, h, d),
-                             lambda i, rows, pos: (i, 0, 0, 0)),
+                             lambda i, lay, rows, pos: (i, 0, 0, 0)),
             ] + rope_specs + [
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, rows, pos: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, lay, rows, pos: (i, lay[0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, rows, pos: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, lay, rows, pos: (i, lay[0], 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, rows, pos: (i, layer_idx, 0, 0,
-                                          rows[i] // w, 0),
+                    lambda i, lay, rows, pos: (i, lay[0], 0, 0,
+                                               rows[i] // w, 0),
                 ),
             ],
             out_specs=[
                 pl.BlockSpec((1, h * groups, d),
-                             lambda i, rows, pos: (i, 0, 0)),
+                             lambda i, lay, rows, pos: (i, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, rows, pos: (i, layer_idx, 0, 0,
-                                          rows[i] // w, 0),
+                    lambda i, lay, rows, pos: (i, lay[0], 0, 0,
+                                               rows[i] // w, 0),
                 ),
             ],
         ),
@@ -609,23 +615,23 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx: int,
             jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
         ],
-        input_output_aliases={6 + len(rope_inputs): 1},
+        input_output_aliases={7 + len(rope_inputs): 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(rows, pos, q, newkv, *rope_inputs, kv, kv, kv)
+    )(lay, rows, pos, q, newkv, *rope_inputs, kv, kv, kv)
     return o, new_pool
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "seq_len", "window", "att_cap", "pe",
+    static_argnames=("seq_len", "window", "att_cap", "pe",
                      "qscale", "interpret"),
     donate_argnums=(0, 1),
 )
 def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
-                           layer_idx: int, seq_len: int, window: int,
+                           layer_idx, seq_len: int, window: int,
                            att_cap: float, pe: int | None = None,
                            qscale: float = 1.0, inv_ts=None, knorm=None,
                            qnorm=None, interpret: bool = False):
@@ -633,14 +639,16 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
     groups = q.shape[2]
     w = _sublane(kv.dtype)
     s_sc = sc.shape[-1]
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _decode_fused_kernel, h, groups, seq_len, window, att_cap,
         s_alloc, w, True, pe, qscale, knorm is not None, qnorm is not None)
     rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
     rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
-    n_prefetch = 2 if pe is not None else 3
-    scalar_inputs = (rows, pos) if pe is not None else (rows, pos, newsc)
+    n_prefetch = 3 if pe is not None else 4
+    scalar_inputs = (lay, rows, pos) if pe is not None \
+        else (lay, rows, pos, newsc)
     nsp = n_prefetch
 
     o, new_pool, new_sc = pl.pallas_call(
@@ -656,38 +664,38 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
             ] + rope_specs + [
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, s_alloc, d),
-                    lambda i, *pf: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, h, 1, s_sc),
-                    lambda i, *pf: (i, layer_idx, 1, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, *pf: (i, layer_idx, 0, 0, pf[0][i] // w, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, s_sc),
-                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
                 ),
             ],
             out_specs=[
                 pl.BlockSpec((1, h * groups, d), lambda i, *pf: (i, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, 2, h, w, d),
-                    lambda i, *pf: (i, layer_idx, 0, 0, pf[0][i] // w, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, 2, h, 1, s_sc),
-                    lambda i, *pf: (i, layer_idx, 0, 0, 0, 0),
+                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
                 ),
             ],
         ),
@@ -781,14 +789,16 @@ def _probe_fused_compile(cache, layer_idx: int, q, rope,
             newsc = jax.ShapeDtypeStruct((b, 2, kv_heads), jnp.float32)
             _decode_fused_q_pallas.lower(
                 _sds(pool), _sds(sc), newkv, newsc, qk, rows, pos,
-                idx, ring, window, att_cap, pe=pe, qscale=qscale,
+                jax.ShapeDtypeStruct((), jnp.int32), ring, window,
+                att_cap, pe=pe, qscale=qscale,
                 interpret=False, **rkw).compile()
         else:
             newkv = jax.ShapeDtypeStruct(
                 (b, 2, kv_heads, d),
                 jnp.float32 if rope is not None else pool.dtype)
             _decode_fused_pallas.lower(
-                _sds(pool), newkv, qk, rows, pos, idx, ring, window,
+                _sds(pool), newkv, qk, rows, pos,
+                jax.ShapeDtypeStruct((), jnp.int32), ring, window,
                 att_cap, pe=pe, qscale=qscale, interpret=False,
                 **rkw).compile()
         ok = True

@@ -180,6 +180,105 @@ class QuantTensor:
         return w.astype(dtype)
 
 
+def stack_quant_tensors(qts: list[QuantTensor]) -> QuantTensor:
+    """Stack per-layer QuantTensors into ONE kernel-ready [L, ...] tensor.
+
+    The scan-over-layers decode step (engine/scan_decode.py, VERDICT r3
+    #3) passes the WHOLE stacked weight into the Pallas GEMMs and selects
+    the layer via a scalar-prefetch index in the block index maps — the
+    kernel DMAs only that layer's blocks, so no per-layer weight copy
+    ever materializes (a `lax.scan` whose xs carried the weights would
+    dynamic-slice a full copy per step instead).  All layout work happens
+    HERE, once, on stack: i8/i4 group-scale arrays are pre-transposed to
+    [L, G, N] (the kernel's static-sublane-slice layout, see _b_inputs)
+    and every array must already be tile-exact — `_b_inputs_stacked`
+    asserts instead of padding.  f32/bf16 per-tensor scales are folded
+    into the weights (exact for f32; one extra rounding for bf16);
+    quantized codecs require equal scales across layers (the i8/i4
+    load-time transcodes normalize to 1.0).  Flags gain "stacked".
+    """
+    base = qts[0]
+    kind = base.kind
+    if kind in ("f32", "bf16"):
+        def fold(q):
+            if q.scale == 1.0:
+                return q
+            w = q.arrays["w"]
+            w = (w.astype(jnp.float32) * jnp.float32(q.scale)).astype(w.dtype)
+            return QuantTensor(q.kind, q.shape, 1.0, {"w": w}, q.flags)
+
+        qts = [fold(q) for q in qts]
+        base = qts[0]
+    for q in qts[1:]:
+        if (q.kind, q.shape, float(q.scale), sorted(q.arrays)) != (
+                base.kind, base.shape, float(base.scale),
+                sorted(base.arrays)):
+            raise ValueError(
+                f"cannot stack: layer aux differs ({q.kind}/{q.shape}/"
+                f"{q.scale} vs {base.kind}/{base.shape}/{base.scale}) — "
+                "load with --kind i8 or --kind i4 (scale-normalized "
+                "transcodes)")
+    transposed = {"scales", "mins", "inv_scales", "zeropoints"}
+    arrays = {}
+    for key in base.arrays:
+        st = jnp.stack([q.arrays[key] for q in qts])
+        if kind in ("i4", "i8") and key in transposed:
+            st = st.swapaxes(1, 2)  # [L, N, G] -> [L, G, N]
+        arrays[key] = st
+    return QuantTensor(kind, base.shape, base.scale, arrays,
+                       tuple(base.flags) + ("stacked",))
+
+
+def _stacked_dims(w: QuantTensor) -> tuple[int, int, int]:
+    """(L, stored N, stored padded K) of a stacked QuantTensor."""
+    if w.kind in ("bf16", "f32"):
+        l, n, kp = w.arrays["w"].shape
+    elif w.kind in ("sfp", "nuq", "i8"):
+        l, n, kp = w.arrays["codes"].shape
+    else:  # nibble-packed
+        l, n, half = w.arrays["codes"].shape
+        kp = half * 2
+    return l, n, kp
+
+
+def _stacked_blocks(w: QuantTensor, blocks, epilogue: bool):
+    """Legalize autotuned blocks for the stacked (tile-exact, no-padding)
+    kernel: bn must divide stored N and bk stored K.  Full-K is the
+    measured winner on every decode shape (CLAUDE.md lore), so bk only
+    K-blocks when the caller needs the epilogue-norm VMEM shrink."""
+    bm, bn, bk = blocks
+    _, n_s, kp_s = _stacked_dims(w)
+    if n_s % bn:
+        bn = next((b for b in range(min(bn, n_s), 0, -128)
+                   if b % 128 == 0 and n_s % b == 0), n_s)
+    if bk >= kp_s or not epilogue:
+        bk = kp_s
+    else:
+        k_align = {"nuq4": kp_s, "i4": 1024, "i8": 1024}.get(w.kind, 128)
+        cands = [b for b in range(k_align, kp_s, k_align)
+                 if kp_s % b == 0 and _legalize_bk(w.kind, b, w.k) == b]
+        bk = max((b for b in cands if b <= bk), default=kp_s)
+    return bm, bn, bk
+
+
+def take_layer(w: QuantTensor, layer) -> QuantTensor:
+    """Dynamic-slice ONE layer out of a stacked QuantTensor (un-doing the
+    stack-time transposes).  Correct with a traced `layer`, but each use
+    materializes a full copy of that layer's arrays — this is the SLOW
+    fallback when the stacked kernel fails to compile, never the hot
+    path."""
+    assert "stacked" in w.flags
+    transposed = {"scales", "mins", "inv_scales", "zeropoints"}
+    arrays = {}
+    for key, a in w.arrays.items():
+        sl = jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+        if w.kind in ("i4", "i8") and key in transposed:
+            sl = sl.T  # [G, N] -> [N, G]
+        arrays[key] = sl
+    flags = tuple(f for f in w.flags if f != "stacked")
+    return QuantTensor(w.kind, w.shape, w.scale, arrays, flags)
+
+
 def quant_tensor_from_packed(pt, kind: str | None = None) -> QuantTensor:
     """Build a QuantTensor from a compression.PackedTensor (host)."""
     from gemma_tpu.compression import Type
@@ -666,6 +765,61 @@ def _b_inputs(kind: str, arrays: dict, np_: int, kp: int, bn: int, bk: int):
     return inputs, in_specs, gk
 
 
+def _b_inputs_stacked(kind: str, arrays: dict, np_: int, kp: int, bn: int,
+                      bk: int):
+    """B operands for a stacked [L, ...] weight: block index maps read the
+    layer from the scalar-prefetch ref, so the kernel DMAs exactly one
+    layer's blocks out of the stacked HBM array.  Arrays must already be
+    in kernel layout and tile-exact (stack_quant_tensors) — padding here
+    would materialize an [L, ...] copy of every layer per step."""
+    inputs: list = []
+    in_specs: list = []
+    gk = 0
+    if kind in ("bf16", "f32", "sfp", "nuq"):
+        w = arrays["w" if kind in ("bf16", "f32") else "codes"]
+        assert w.shape[1:] == (np_, kp), (w.shape, np_, kp)
+        inputs.append(w)
+        in_specs.append(pl.BlockSpec(
+            (None, bn, bk), lambda i, j, kk, l: (l[0], j, kk)))
+    elif kind == "nuq4":
+        codes, tables = arrays["codes"], arrays["tables"]
+        group = 256
+        assert bk % group == 0 and kp // bk == 1, \
+            "stacked nuq4 is full-K only (_stacked_blocks guarantees it)"
+        assert codes.shape[1:] == (np_, kp // 2), (codes.shape, np_, kp)
+        inputs.append(codes)
+        in_specs.append(pl.BlockSpec(
+            (None, bn, bk // 2), lambda i, j, kk, l: (l[0], j, kk)))
+        gp = kp // group
+        gk = bk // group
+        tl_arr = tables.shape[2]
+        assert tl_arr >= round_up(gp * 16, 128), (tables.shape, gp)
+        inputs.append(tables)
+        in_specs.append(pl.BlockSpec(
+            (None, bn, tl_arr), lambda i, j, kk, l: (l[0], j, 0)))
+    elif kind in ("i4", "i8"):
+        codes = arrays["codes"]
+        kb = kp // 2 if kind == "i4" else kp
+        assert codes.shape[1:] == (np_, kb), (codes.shape, np_, kp)
+        inputs.append(codes)
+        in_specs.append(pl.BlockSpec(
+            (None, bn, bk // 2 if kind == "i4" else bk),
+            lambda i, j, kk, l: (l[0], j, kk)))
+        gp = kp // 128
+        gk = bk // 128
+        keys = ("scales", "mins") if kind == "i4" \
+            else ("inv_scales", "zeropoints")
+        for key in keys:
+            arr = arrays[key]  # pre-transposed [L, G, N] at stack time
+            assert arr.shape[1:] == (gp, np_), (arr.shape, gp, np_)
+            inputs.append(arr)
+            in_specs.append(pl.BlockSpec(
+                (None, gk, bn), lambda i, j, kk, l: (l[0], kk, j)))
+    else:
+        raise ValueError(kind)
+    return inputs, in_specs, gk
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "shape", "scale", "block_m", "block_n", "block_k",
@@ -685,10 +839,12 @@ def _matmul_pallas(
     norm_w: jnp.ndarray | None = None,
     post_w: jnp.ndarray | None = None,
     add2d: jnp.ndarray | None = None,
+    layer: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     m, k_dim = a.shape
     n, k2 = shape
     assert k_dim == k2, (a.shape, shape)
+    stacked = layer is not None
 
     bm = min(block_m, round_up(m, 8))
     bn = min(block_n, round_up(n, 128))
@@ -705,31 +861,54 @@ def _matmul_pallas(
     assert not (has_post and grid[1] > 1), \
         "post norm needs a single-N-step grid (caller guards)"
 
-    b_in, b_specs, gk = _b_inputs(kind, arrays, np_, kp, bn, bk)
-    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    # Stacked mode: index maps gain the trailing scalar-prefetch (layer)
+    # ref; per-step operands ignore it.
+    am = (lambda f: (lambda i, j, kk, l: f(i, j, kk))) if stacked \
+        else (lambda f: f)
+    if stacked:
+        b_in, b_specs, gk = _b_inputs_stacked(kind, arrays, np_, kp, bn, bk)
+    else:
+        b_in, b_specs, gk = _b_inputs(kind, arrays, np_, kp, bn, bk)
+    in_specs = [pl.BlockSpec((bm, bk), am(lambda i, j, kk: (i, kk)))]
     inputs: list = [a_pad]
     if has_norm:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        in_specs.append(pl.BlockSpec((1, bk), am(lambda i, j, kk: (0, kk))))
         inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
     in_specs += b_specs
     inputs += b_in
     if has_post:
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)))
+        in_specs.append(pl.BlockSpec((1, bn), am(lambda i, j, kk: (0, j))))
         inputs.append(_pad2(post_w.reshape(1, -1), 1, np_))
     has_add = add2d is not None
     if has_add:
-        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)))
+        in_specs.append(pl.BlockSpec((bm, bn), am(lambda i, j, kk: (i, j))))
         inputs.append(_pad2(add2d, mp, np_))
 
     kernel = functools.partial(_mm_kernel, kind, grid[2], scale, out_dtype,
                                gk, k_dim, n, has_norm, has_post, has_add)
+    if stacked:
+        inner = kernel
+        kernel = lambda l_ref, *refs: inner(*refs)  # noqa: E731
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn),
+                                   lambda i, j, kk, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ))
+        inputs = [jnp.asarray(layer, jnp.int32).reshape(1)] + inputs
+    else:
+        grid_kw = dict(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        **grid_kw,
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -762,11 +941,13 @@ def _gated_pallas(
     out_dtype,
     interpret: bool,
     norm_w: jnp.ndarray | None = None,
+    layer: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """gelu(A @ W1^T) * (A @ W2^T) in one kernel (two accumulators)."""
     m, k_dim = a.shape
     n, k2 = shape
     assert k_dim == k2, (a.shape, shape)
+    stacked = layer is not None
 
     bm = min(block_m, round_up(m, 8))
     bn = min(block_n, round_up(n, 128))
@@ -779,26 +960,45 @@ def _gated_pallas(
     has_norm = norm_w is not None
     assert not (has_norm and grid[2] > 1)
 
-    b1_in, b1_specs, gk = _b_inputs(kind, arrays1, np_, kp, bn, bk)
-    b2_in, b2_specs, _ = _b_inputs(kind, arrays2, np_, kp, bn, bk)
-    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+    am = (lambda f: (lambda i, j, kk, l: f(i, j, kk))) if stacked \
+        else (lambda f: f)
+    b_inp = _b_inputs_stacked if stacked else _b_inputs
+    b1_in, b1_specs, gk = b_inp(kind, arrays1, np_, kp, bn, bk)
+    b2_in, b2_specs, _ = b_inp(kind, arrays2, np_, kp, bn, bk)
+    in_specs = [pl.BlockSpec((bm, bk), am(lambda i, j, kk: (i, kk)))]
     inputs: list = [a_pad]
     if has_norm:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk)))
+        in_specs.append(pl.BlockSpec((1, bk), am(lambda i, j, kk: (0, kk))))
         inputs.append(_pad2(norm_w.reshape(1, -1), 1, kp))
     in_specs += b1_specs + b2_specs
     inputs += b1_in + b2_in
 
     kernel = functools.partial(_gated_kernel, kind, grid[2], scale1, scale2,
                                out_dtype, gk, k_dim, has_norm)
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32),
+               pltpu.VMEM((bm, bn), jnp.float32)]
+    if stacked:
+        inner = kernel
+        kernel = lambda l_ref, *refs: inner(*refs)  # noqa: E731
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, l: (i, j)),
+            scratch_shapes=scratch,
+        ))
+        inputs = [jnp.asarray(layer, jnp.int32).reshape(1)] + inputs
+    else:
+        grid_kw = dict(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+            scratch_shapes=scratch,
+        )
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        **grid_kw,
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
-                        pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -822,6 +1022,7 @@ def matmul(
     use_pallas: bool | None = None,
     prologue_norm: jnp.ndarray | None = None,
     epilogue_norm: jnp.ndarray | None = None,
+    layer: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """C = scale * A @ W^T (+ add); the `CallMatMul` analog (ops-inl.h:64-71).
 
@@ -834,16 +1035,29 @@ def matmul(
     single-N-step grid (bn = N, bk shrunk to fit VMEM).
     add: [N] bias (XLA epilogue) or [M, N] residual (fused in-kernel,
     AFTER epilogue_norm — out = add + postnorm(scale * A.B^T)).
+    layer: traced i32 scalar selecting one layer of a STACKED w
+    (stack_quant_tensors) inside the kernel via scalar prefetch — the
+    scan-over-layers decode path; blocks are re-legalized so the stacked
+    arrays never need padding (no per-step weight copies).
     """
     if interpret is None:
         interpret = _interpret_default()
     if use_pallas is None:
         # On CPU the interpreter is for testing only; XLA fallback is faster.
         use_pallas = True
+    if layer is not None:
+        assert "stacked" in w.flags, "layer= needs a stacked QuantTensor"
+        if not use_pallas:
+            return matmul(a, take_layer(w, layer), out_dtype=out_dtype,
+                          add=add, blocks=blocks, interpret=interpret,
+                          use_pallas=False, prologue_norm=prologue_norm,
+                          epilogue_norm=epilogue_norm)
     if blocks is None:
         from gemma_tpu.ops.autotune import best_blocks
 
         blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+    if layer is not None:
+        blocks = _stacked_blocks(w, blocks, epilogue=epilogue_norm is not None)
 
     post_w = None
     pre_widen_blocks = blocks
@@ -862,7 +1076,14 @@ def matmul(
                     + 2 * bm * bn * 4) <= 10 * 1024 * 1024
 
         kp_full = round_up(w.k, k_align)
-        start = _legalize_bk(w.kind, min(bk, kp_full), w.k)
+        if layer is not None:
+            # Stacked arrays are tile-exact: candidates must divide the
+            # STORED padded K (and bn must equal the stored N).
+            _, n_s, kp_full = _stacked_dims(w)
+            if bn != n_s:
+                kp_full = 0  # lane-unaligned N: no in-kernel epilogue
+        start = _legalize_bk(w.kind, min(bk, kp_full), w.k) if kp_full \
+            else 0
         # Candidate bks must DIVIDE the padded K (else _pad2 materializes
         # padded HBM copies of the weights — CLAUDE.md) and survive
         # _legalize_bk unchanged (else it would promote back to the
@@ -870,7 +1091,7 @@ def matmul(
         cands = [b for b in range(k_align, kp_full + 1, k_align)
                  if kp_full % b == 0
                  and _legalize_bk(w.kind, b, w.k) == b]
-        cands = sorted({b for b in cands if b <= start} | {start},
+        cands = sorted({b for b in cands if b <= start} | {start} - {0},
                        reverse=True)
         bk = next((b for b in cands if fits(b)), None)
         if bk is not None:
@@ -897,17 +1118,19 @@ def matmul(
         add2d = add
         add = None
 
-    if use_pallas and (norm_w is not None or post_w is not None
-                       or add2d is not None):
+    if use_pallas and (layer is not None or norm_w is not None
+                       or post_w is not None or add2d is not None):
         # The fused prologue/epilogue variants widen blocks and add
-        # operands the plain kernel never carried; AOT-probe once per
-        # signature and degrade to the composed (bit-identical) stages
-        # on a native compile failure.
+        # operands the plain kernel never carried (and the stacked
+        # scalar-prefetch variant is new per signature even when plain);
+        # AOT-probe once per signature and degrade to the composed
+        # (bit-identical) stages on a native compile failure.
         if not _probe_compile(
                 _matmul_pallas, a, w.arrays, w.kind, w.shape,
                 float(w.scale), *blocks, out_dtype=out_dtype,
                 interpret=False, norm_w=norm_w, post_w=post_w,
-                add2d=add2d, _skip=interpret):
+                add2d=add2d, layer=None if layer is None else jnp.int32(0),
+                _skip=interpret):
             if norm_w is not None:
                 from gemma_tpu.ops.ops import rms_norm
 
@@ -923,11 +1146,18 @@ def matmul(
                 # cache silently overrode e.g. tpu_parity's tiles).
                 post_w = None
                 blocks = pre_widen_blocks
+            if layer is not None:
+                # Last resort for a stacked weight whose scalar-prefetch
+                # kernel won't lower: dynamic-slice the layer out (full
+                # copy — slow, never the hot path) and run the
+                # hardware-proven unstacked kernel.
+                w = take_layer(w, layer)
+                layer = None
     if use_pallas:
         out = _matmul_pallas(
             a, w.arrays, w.kind, w.shape, float(w.scale), *blocks,
             out_dtype=out_dtype, interpret=interpret, norm_w=norm_w,
-            post_w=post_w, add2d=add2d,
+            post_w=post_w, add2d=add2d, layer=layer,
         )
         if epilogue_norm is not None and post_w is None:
             from gemma_tpu.ops.ops import rms_norm
@@ -1458,7 +1688,8 @@ def _sds(a) -> jax.ShapeDtypeStruct:
 
 
 def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
-                         blocks, out_dtype, norm_w=None) -> bool:
+                         blocks, out_dtype, norm_w=None,
+                         layer=None) -> bool:
     """One-time AOT compile probe for the fused gated kernel.
 
     The try/except around the in-jit call cannot catch a Mosaic VMEM
@@ -1471,7 +1702,7 @@ def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
     an outer trace: .lower() opens a fresh trace, like jax.eval_shape).
     """
     key = (w1.kind, w1.shape, x.shape, str(x.dtype), blocks, str(out_dtype),
-           norm_w is not None)
+           norm_w is not None, layer is not None)
     hit = _GATED_PROBED.get(key)
     if hit is not None:
         return hit
@@ -1482,6 +1713,8 @@ def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
             w1.kind, w1.shape, float(w1.scale), float(w2.scale), *blocks,
             out_dtype=out_dtype, interpret=False,
             norm_w=None if norm_w is None else _sds(norm_w),
+            layer=None if layer is None
+            else jax.ShapeDtypeStruct((), jnp.int32),
         ).compile()
         ok = True
     except Exception:  # noqa: BLE001 — any compile failure means fallback
@@ -1500,6 +1733,7 @@ def gated_ffn(
     interpret: bool | None = None,
     use_pallas: bool | None = None,
     prologue_norm: jnp.ndarray | None = None,
+    layer: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """TwoMatMul analog: gelu(x @ W1^T) * (x @ W2^T) (matmul-inl.h:1114-1175).
 
@@ -1536,6 +1770,12 @@ def gated_ffn(
         while bn > 128 and est_vmem(bn) > 10 * 1024 * 1024:
             bn = (bn // 2 + 127) // 128 * 128
         blocks = (bm, max(bn, 128), bk)
+        if layer is not None:
+            assert "stacked" in w1.flags and "stacked" in w2.flags
+            # Stacked arrays are tile-exact: bn must divide the stored N
+            # and bk the stored K (no padding allowed).
+            blocks = _stacked_blocks(w1, blocks, epilogue=False)
+            bkl = blocks[2]
         norm_w = None
         if prologue_norm is not None:
             if bkl >= round_up(w1.k, 128):
@@ -1547,7 +1787,8 @@ def gated_ffn(
 
                 x = rms_norm(x, prologue_norm).astype(jnp.bfloat16)
                 prologue_norm = None
-        key = (w1.kind, w1.shape, blocks, norm_w is not None)
+        key = (w1.kind, w1.shape, blocks, norm_w is not None,
+               layer is not None)
         if key not in _GATED_UNSUPPORTED:
             # The in-jit try/except below cannot catch a Mosaic VMEM
             # error (it surfaces at the ENCLOSING jit's compile), so on
@@ -1556,7 +1797,8 @@ def gated_ffn(
             # caller's program.
             if (not interpret
                     and not _probe_gated_compile(x, w1, w2, blocks,
-                                                 out_dtype, norm_w)):
+                                                 out_dtype, norm_w,
+                                                 layer=layer)):
                 _GATED_UNSUPPORTED.add(key)
         if key not in _GATED_UNSUPPORTED:
             try:
@@ -1564,7 +1806,7 @@ def gated_ffn(
                     x, w1.arrays, w2.arrays, w1.kind, w1.shape,
                     float(w1.scale), float(w2.scale), *blocks,
                     out_dtype=out_dtype, interpret=interpret,
-                    norm_w=norm_w)
+                    norm_w=norm_w, layer=layer)
             except Exception:  # noqa: BLE001 — blocks tuned for the plain
                 # kernel can bust VMEM/tiling with doubled B inputs; fall
                 # back to two matmuls and remember.
@@ -1577,7 +1819,7 @@ def gated_ffn(
 
         x = rms_norm(x, prologue_norm).astype(jnp.bfloat16)
     c1 = matmul(x, w1, out_dtype=jnp.float32, interpret=interpret,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, layer=layer)
     c2 = matmul(x, w2, out_dtype=jnp.float32, interpret=interpret,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, layer=layer)
     return (gelu_op(c1) * c2).astype(out_dtype)

@@ -78,41 +78,14 @@ def test_decode_attention_interpret_matches_reference():
     positions = jnp.full((B, 1), 24, jnp.int32)
     want = decode_attention(cache, 0, q, positions, SEQ, att_cap=50.0,
                             use_pallas=False)
-    # interpret-mode run of the decode kernel
-    import functools
-    import jax
-    from jax.experimental import pallas as pl
-
+    # interpret-mode run of the decode kernel (the wrapper takes a traced
+    # layer index — exercise it with both a static int and a jnp scalar).
     qk = q.reshape(B, KVH, H // KVH, D)
-    # Re-lower the decode kernel with interpret=True (the public entry
-    # hardcodes native lowering on TPU).
-    import gemma_tpu.ops.decode_attention as da
-    from jax.experimental.pallas import tpu as pltpu
-
-    def _interp(kv, qq, pos, layer_idx, seq_len, window, att_cap):
-        b, n_layers, _, h, s_alloc, d = kv.shape
-        groups = qq.shape[2]
-        kernel = functools.partial(
-            da._decode_att_kernel, h, groups, seq_len, window, att_cap,
-            s_alloc, False)
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((1, h, groups, d), lambda i, pos: (i, 0, 0, 0)),
-                    pl.BlockSpec((1, 1, 1, h, s_alloc, d),
-                                 lambda i, pos: (i, layer_idx, 0, 0, 0, 0)),
-                    pl.BlockSpec((1, 1, 1, h, s_alloc, d),
-                                 lambda i, pos: (i, layer_idx, 1, 0, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, h * groups, d),
-                                       lambda i, pos: (i, 0, 0)),
-            ),
-            out_shape=jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
-            interpret=True,
-        )(pos, qq, kv, kv)
-
-    got = _interp(cache.kv, qk, positions[:, 0], 0, SEQ, SEQ, 50.0)
+    got = _decode_att_pallas(cache.kv, qk, positions[:, 0], 0, SEQ, SEQ,
+                             50.0, interpret=True)
+    got_traced = _decode_att_pallas(cache.kv, qk, positions[:, 0],
+                                    jnp.int32(0), SEQ, SEQ, 50.0,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got_traced))
     got = np.asarray(got).reshape(B, 1, H, D)
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-2, atol=8e-3)

@@ -84,12 +84,24 @@ def measure_decode(config, kind: str, kv_kind: str, batch: int,
     cache = KVCache.create(config, batch, seq_len, kind=kv_kind)
     start_pos = seq_len // 2
 
+    # Scan-over-layers decode (engine/scan_decode.py): one lax.scan body
+    # instead of L unrolled layers.  GEMMA_SCAN_DECODE=0 is the A/B
+    # escape hatch; unstackable layouts fall back to the unrolled step.
+    fwd = forward
+    if os.environ.get("GEMMA_SCAN_DECODE", "1") != "0":
+        from gemma_tpu.engine.scan_decode import (build_scan_params,
+                                                  forward_scan)
+
+        sp = build_scan_params(params, config)
+        if sp is not None:
+            fwd, params = forward_scan, sp
+
     @jax.jit
     def decode_n(params, cache, first_tokens):
         def body(carry, _):
             prev, pos, cache = carry
-            (tok, _), cache = forward(params, prev[:, None], pos[:, None],
-                                      cache, config, return_logits="top1")
+            (tok, _), cache = fwd(params, prev[:, None], pos[:, None],
+                                  cache, config, return_logits="top1")
             tok = tok.astype(jnp.int32)
             return (tok, pos + 1, cache), tok
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Sequence
 
@@ -87,6 +88,25 @@ class GemmaEngine:
         self._decode_fns: dict = {}
         self._decode_chunk_fns: dict = {}
         self._generate_fns: dict = {}
+
+    @property
+    def scan_params(self):
+        """Stacked [T, ...] params for the scan-over-layers decode
+        (engine/scan_decode.py: one lax.scan body instead of L unrolled
+        layers), built lazily on first decode.  None when ineligible —
+        mesh mode (TP shards per-layer), per-layer codec scales that
+        cannot stack (load with --kind i8/--kind i4), non-periodic layer
+        patterns — or when disabled via GEMMA_SCAN_DECODE=0 (the
+        unrolled-vs-scan A/B escape hatch)."""
+        if not hasattr(self, "_scan_params_cache"):
+            sp = None
+            if self.mesh is None and \
+                    os.environ.get("GEMMA_SCAN_DECODE", "1") != "0":
+                from gemma_tpu.engine.scan_decode import build_scan_params
+
+                sp = build_scan_params(self.params, self.config)
+            self._scan_params_cache = sp
+        return self._scan_params_cache
 
     # --- jitted steps ---
 
@@ -172,6 +192,34 @@ class GemmaEngine:
                     )
                     return logits, cache
 
+                sparams = self.scan_params
+                if sparams is not None:
+                    from gemma_tpu.engine.scan_decode import forward_scan
+
+                    @functools.partial(jax.jit, donate_argnums=(3,))
+                    def scan_step(sp, prev_tokens, positions, cache,
+                                  *valid):
+                        logits, cache = forward_scan(
+                            sp, prev_tokens, positions, cache, config,
+                            return_logits="last",
+                            valid=valid[0] if valid else None)
+                        return logits, cache
+
+                    unrolled = step
+
+                    def step(params, prev_tokens, positions, cache,
+                             *valid):
+                        # A cache whose pool layout is not periodic-affine
+                        # (built for a different config) fails the scan's
+                        # trace-time asserts — route it to the unrolled
+                        # step (trace failure precedes any donation).
+                        try:
+                            return scan_step(sparams, prev_tokens,
+                                             positions, cache, *valid)
+                        except AssertionError:
+                            return unrolled(params, prev_tokens,
+                                            positions, cache, *valid)
+
             self._decode_fns[key] = step
         return self._decode_fns[key]
 
@@ -201,40 +249,60 @@ class GemmaEngine:
 
                 self._decode_chunk_fns[key] = run
                 return run
-            @functools.partial(jax.jit, donate_argnums=(3,))
-            def run(params, prev, pos, cache, seed, *mask):
-                def body(carry, _):
-                    prev, pos, cache = carry
-                    if top_k == 1:
-                        # Greedy: fused logits head (the [B, vocab] logits
-                        # never materialize); the allowed-token TokenSet
-                        # constraint rides the kernel's in-block mask.
-                        (tok, prob), cache = forward(
+            def make_run(fwd):
+                @functools.partial(jax.jit, donate_argnums=(3,))
+                def run(params, prev, pos, cache, seed, *mask):
+                    def body(carry, _):
+                        prev, pos, cache = carry
+                        if top_k == 1:
+                            # Greedy: fused logits head (the [B, vocab]
+                            # logits never materialize); the allowed-token
+                            # TokenSet constraint rides the kernel's
+                            # in-block mask.
+                            (tok, prob), cache = fwd(
+                                params, prev[:, None], pos[:, None], cache,
+                                config, return_logits="top1",
+                                top1_mask=mask[0] if mask else None,
+                            )
+                            tok = tok.astype(jnp.int32)
+                            return (tok, pos + 1, cache), (tok, prob)
+                        # Sampled decode: fused top-k head selects the k
+                        # candidates in-kernel; the categorical draw runs
+                        # on the tiny [B, k] result.
+                        (vals, idxs), cache = fwd(
                             params, prev[:, None], pos[:, None], cache,
-                            config, return_logits="top1",
+                            config, return_logits="topk", top_k_n=top_k,
                             top1_mask=mask[0] if mask else None,
                         )
+                        keys = jax.vmap(
+                            lambda qi, p: sample_key(seed, qi, p)
+                        )(jnp.arange(batch), pos + 1)
+                        tok, prob = sampling.sample_from_topk(
+                            vals, idxs, keys, temperature)
                         tok = tok.astype(jnp.int32)
                         return (tok, pos + 1, cache), (tok, prob)
-                    # Sampled decode: fused top-k head selects the k
-                    # candidates in-kernel; the categorical draw runs on
-                    # the tiny [B, k] result.
-                    (vals, idxs), cache = forward(
-                        params, prev[:, None], pos[:, None], cache, config,
-                        return_logits="topk", top_k_n=top_k,
-                        top1_mask=mask[0] if mask else None,
-                    )
-                    keys = jax.vmap(
-                        lambda qi, p: sample_key(seed, qi, p)
-                    )(jnp.arange(batch), pos + 1)
-                    tok, prob = sampling.sample_from_topk(
-                        vals, idxs, keys, temperature)
-                    tok = tok.astype(jnp.int32)
-                    return (tok, pos + 1, cache), (tok, prob)
 
-                (prev, pos, cache), (toks, probs) = jax.lax.scan(
-                    body, (prev, pos, cache), None, length=k)
-                return toks.T, probs.T, cache
+                    (prev, pos, cache), (toks, probs) = jax.lax.scan(
+                        body, (prev, pos, cache), None, length=k)
+                    return toks.T, probs.T, cache
+
+                return run
+
+            run = make_run(forward)
+            sparams = self.scan_params
+            if sparams is not None:
+                from gemma_tpu.engine.scan_decode import forward_scan
+
+                scan_run = make_run(forward_scan)
+                base_run = run
+
+                def run(params, prev, pos, cache, seed, *mask):
+                    try:
+                        return scan_run(sparams, prev, pos, cache, seed,
+                                        *mask)
+                    except AssertionError:
+                        return base_run(params, prev, pos, cache, seed,
+                                        *mask)
 
             self._decode_chunk_fns[key] = run
         return self._decode_chunk_fns[key]
@@ -635,21 +703,38 @@ class GemmaEngine:
         if key not in self._generate_fns:
             config = self.config
 
-            @jax.jit
-            def run(params, prev, pos, cache):
-                def body(carry, _):
-                    prev, pos, cache = carry
-                    (tok, _), cache = forward(
-                        params, prev[:, None], pos[:, None], cache, config,
-                        return_logits="top1",
-                    )
-                    tok = tok.astype(jnp.int32)
-                    return (tok, pos + 1, cache), tok
+            def make_run(fwd):
+                @jax.jit
+                def run(params, prev, pos, cache):
+                    def body(carry, _):
+                        prev, pos, cache = carry
+                        (tok, _), cache = fwd(
+                            params, prev[:, None], pos[:, None], cache,
+                            config, return_logits="top1",
+                        )
+                        tok = tok.astype(jnp.int32)
+                        return (tok, pos + 1, cache), tok
 
-                (_, _, cache), tokens = jax.lax.scan(
-                    body, (prev, pos, cache), None, length=max_steps
-                )
-                return tokens.T, cache
+                    (_, _, cache), tokens = jax.lax.scan(
+                        body, (prev, pos, cache), None, length=max_steps
+                    )
+                    return tokens.T, cache
+
+                return run
+
+            run = make_run(forward)
+            sparams = self.scan_params
+            if sparams is not None:
+                from gemma_tpu.engine.scan_decode import forward_scan
+
+                scan_run = make_run(forward_scan)
+                base_run = run
+
+                def run(params, prev, pos, cache):
+                    try:
+                        return scan_run(sparams, prev, pos, cache)
+                    except AssertionError:
+                        return base_run(params, prev, pos, cache)
 
             self._generate_fns[key] = run
         tokens, _ = self._generate_fns[key](

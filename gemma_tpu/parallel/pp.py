@@ -153,6 +153,7 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
     x_buf = jnp.zeros((b, model_dim), jnp.float32)
     h = jnp.zeros((bm, 1, model_dim), jnp.float32)
     perm = [(i, i + 1) for i in range(n - 1)]
+    n_active = jnp.int32(0)  # this chip's busy ticks (utilization meter)
 
     def stage_compute(h, kv, kv_scale, pos_mb, start):
         """This stage's Ls layers on one microbatch (active ticks)."""
@@ -207,6 +208,7 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
 
         mu = tick - me                       # this chip's microbatch index
         active = (mu >= 0) & (mu < m)
+        n_active = n_active + active.astype(jnp.int32)
         start = jnp.clip(mu * bm, 0, b - bm)
         pos_mb = jax.lax.dynamic_slice_in_dim(positions, start, bm, 0)
 
@@ -237,11 +239,15 @@ def _pp_decode_local(stage_layers, embedding, final_norm, windows_stage,
     logits = matmul(x_bf, embedding, out_dtype=jnp.float32)
     if config.final_cap:
         logits = soft_cap(config.final_cap, logits)
-    return logits, kv, kv_scale
+    # Measured pipeline utilization: busy chip-ticks summed over stages /
+    # total chip-ticks — the tick-counted (not just stated) m/(m+n-1).
+    busy = jax.lax.psum(n_active, axis)
+    return logits, kv, kv_scale, busy
 
 
 def build_pp_decode(config: ModelConfig, mesh, cache: KVCache,
-                    n_micro: int | None = None, axis: str = "model"):
+                    n_micro: int | None = None, axis: str = "model",
+                    with_ticks: bool = False):
     """Jitted (stacked_layers, embedding, final_norm, tokens [B,1],
     positions [B,1], cache) -> (logits [B, vocab], cache) with layers and
     the cache's layer dim sharded into pipeline stages.
@@ -249,8 +255,11 @@ def build_pp_decode(config: ModelConfig, mesh, cache: KVCache,
     Use `stack_layers(params)` + device_put with `pp_layer_specs` (or let
     jit reshard) for the weights; `shard_cache_pp` for the cache.
     n_micro defaults to the stage count (full pipelining when B divides).
+    with_ticks appends the measured busy-tick count (utilization =
+    busy / (n_stages * (m + n - 1))) to the outputs.
     """
-    return _build(config, mesh, cache, n_micro, axis, k=None)
+    return _build(config, mesh, cache, n_micro, axis, k=None,
+                  with_ticks=with_ticks)
 
 
 def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
@@ -266,7 +275,7 @@ def build_pp_decode_chunk(config: ModelConfig, mesh, cache: KVCache,
     return _build(config, mesh, cache, n_micro, axis, k=k)
 
 
-def _build(config, mesh, cache, n_micro, axis, k):
+def _build(config, mesh, cache, n_micro, axis, k, with_ticks=False):
     """Shared builder: k=None -> single step returning logits; k=int ->
     greedy scan returning [B, k] tokens."""
     n = mesh.shape[axis]
@@ -290,19 +299,35 @@ def _build(config, mesh, cache, n_micro, axis, k):
 
     def one_step(stage_layers, embedding, final_norm, windows_a, ts_a,
                  tok, pos, c):
-        logits, kv, kv_scale = body(stage_layers, embedding, final_norm,
-                                    windows_a, ts_a, tok, pos, c)
-        return logits, dataclasses.replace(c, kv=kv, kv_scale=kv_scale)
+        logits, kv, kv_scale, busy = body(stage_layers, embedding,
+                                          final_norm, windows_a, ts_a,
+                                          tok, pos, c)
+        return (logits, dataclasses.replace(c, kv=kv, kv_scale=kv_scale),
+                busy)
 
     if k is None:
-        wrapped = one_step
+        if with_ticks:
+            def wrapped(stage_layers, embedding, final_norm, windows_a,
+                        ts_a, tok, pos, c):
+                logits, c, busy = one_step(stage_layers, embedding,
+                                           final_norm, windows_a, ts_a,
+                                           tok, pos, c)
+                return logits, c, busy
+        else:
+            def wrapped(stage_layers, embedding, final_norm, windows_a,
+                        ts_a, tok, pos, c):
+                logits, c, _ = one_step(stage_layers, embedding,
+                                        final_norm, windows_a, ts_a,
+                                        tok, pos, c)
+                return logits, c
     else:
         def wrapped(stage_layers, embedding, final_norm, windows_a, ts_a,
                     tokens, positions, c):
             def step(carry, _):
                 tok, pos, cc = carry
-                logits, cc = one_step(stage_layers, embedding, final_norm,
-                                      windows_a, ts_a, tok, pos, cc)
+                logits, cc, _ = one_step(stage_layers, embedding,
+                                         final_norm, windows_a, ts_a,
+                                         tok, pos, cc)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
                 return (nxt, pos + 1, cc), nxt[:, 0]
 
@@ -312,10 +337,12 @@ def _build(config, mesh, cache, n_micro, axis, k):
 
     # P(axis) is a PREFIX spec for the whole stacked-layers pytree:
     # every leaf shards its leading (layer) dim into stages.
+    out_specs = (P(), cache_sp, P()) if (k is None and with_ticks) \
+        else (P(), cache_sp)
     fn = jax.shard_map(
         wrapped, mesh=mesh,
         in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(), cache_sp),
-        out_specs=(P(), cache_sp),
+        out_specs=out_specs,
         check_vma=False)
     jitted = jax.jit(fn, donate_argnums=(7,))
 

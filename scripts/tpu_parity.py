@@ -340,6 +340,122 @@ def main() -> None:
 
     g.run("sp/cp 1-chip mesh", sp_cp_sec)
 
+    # --- stacked-weight kernels (scan-over-layers decode, round 4):
+    # scalar-prefetch layer select must be BIT-identical to the unstacked
+    # kernel at the same tiles under NATIVE lowering. ---
+    from gemma_tpu.ops.matmul import stack_quant_tensors
+
+    L = 3
+    for kind in ("bf16", "sfp", "i8", "i4", "nuq4"):
+        def sec(kind=kind):
+            ok = True
+            qts = [synth_quant(rng, n, k, kind) for _ in range(L)]
+            st = stack_quant_tensors(qts)
+            blocks = (16, 256, 2304)
+            anorm = rms_norm(af, nw).astype(jnp.bfloat16)
+            for l in (0, L - 1):
+                want = matmul(a, qts[l], blocks=blocks)
+                got = matmul(a, st, layer=jnp.int32(l), blocks=blocks)
+                ok &= check(f"stacked matmul[{kind}] layer {l}", got,
+                            want, 0.0, 0.0)
+            want = matmul(anorm, qts[1], blocks=blocks, epilogue_norm=pw,
+                          add=resid)
+            got = matmul(anorm, st, layer=jnp.int32(1), blocks=blocks,
+                         epilogue_norm=pw, add=resid)
+            ok &= check(f"stacked matmul[{kind}] fused epilogue", got,
+                        want, 0.0, 0.0)
+            want = matmul(af, qts[1], blocks=blocks, prologue_norm=nw)
+            got = matmul(af, st, layer=jnp.int32(1), blocks=blocks,
+                         prologue_norm=nw)
+            ok &= check(f"stacked matmul[{kind}] fused prologue", got,
+                        want, 0.0, 0.0)
+            return ok
+        g.run(f"stacked[{kind}]", sec)
+
+    def sec_stacked_gated():
+        q1 = [synth_quant(rng, n, k, "i4") for _ in range(L)]
+        q2 = [synth_quant(rng, n, k, "i4") for _ in range(L)]
+        s1, s2 = stack_quant_tensors(q1), stack_quant_tensors(q2)
+        want = gated_ffn(af, q1[1], q2[1], out_dtype=jnp.float32,
+                         prologue_norm=nw)
+        got = gated_ffn(af, s1, s2, out_dtype=jnp.float32,
+                        prologue_norm=nw, layer=jnp.int32(1))
+        return check("stacked gated_ffn[i4] fused prologue", got, want,
+                     0.0, 0.0)
+    g.run("stacked gated_ffn", sec_stacked_gated)
+
+    # Traced layer index into the fused write+attend kernel: bit-equal to
+    # the static-int path (same kernel, the index just rides SMEM).
+    def sec_traced_attention():
+        from gemma_tpu.ops.decode_attention import decode_attention_write
+
+        cache = KVCache.create(config, B, SEQ, kind="i8")
+        kk = jnp.asarray(rng.normal(0, 0.5, (B, 64, KVH, D)
+                                    ).astype(np.float32))
+        vv = jnp.asarray(rng.normal(0, 0.5, (B, 64, KVH, D)
+                                    ).astype(np.float32))
+        pos = jnp.tile(jnp.arange(64, dtype=jnp.int32), (B, 1))
+        cache = cache.update(1, pos, kk, vv)
+        q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+        k1 = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)
+                                    ).astype(np.float32))
+        v1 = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)
+                                    ).astype(np.float32))
+        p2 = jnp.full((B, 1), 64, jnp.int32)
+        got, c_got = decode_attention_write(
+            cache.copy(), jnp.int32(1), q, p2, k1, v1, SEQ, att_cap=50.0,
+            use_pallas=True)
+        want, c_want = decode_attention_write(
+            cache.copy(), 1, q, p2, k1, v1, SEQ, att_cap=50.0,
+            use_pallas=True)
+        ok = check("decode_write_attend traced layer idx", got, want,
+                   0.0, 0.0)
+        ok &= check("decode_write_attend traced idx cache",
+                    c_got.k_layer(1), c_want.k_layer(1), 0.0, 0.0)
+        return ok
+    g.run("traced-layer attention", sec_traced_attention)
+
+    # --- full scan-over-layers decode step vs the unrolled forward on a
+    # lane-aligned toy config (identical kernels; XLA may fuse the tiny
+    # composed elementwise stages differently across program shapes, so
+    # the bound is ulp-scale, not bitwise). ---
+    def sec_scan_forward():
+        from gemma_tpu.engine.scan_decode import (build_scan_params,
+                                                  forward_scan)
+
+        lc = LayerConfig(model_dim=256, ff_hidden_dim=512, heads=4,
+                         kv_heads=2, qkv_dim=128,
+                         post_norm=PostNormType.SCALE)
+        cfg = ModelConfig(
+            model=Model.GEMMA2_2B, model_dim=256, vocab_size=512,
+            max_seq_len=256, num_layers=4, att_cap=50.0, final_cap=30.0,
+            query_scale=QueryScaleType.SQRT_KEY_SIZE, weight=Type.SFP)
+        cfg.layer_configs = [lc] * 4
+        cfg.attention_window_sizes = [64, 255] * 2
+        params = synth_params(cfg, kind="i8", seed=41)
+        sparams = build_scan_params(params, cfg)
+        assert sparams is not None
+        batch, t = 4, 32
+        tokens = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (batch, t)), jnp.int32)
+        positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (batch, 1))
+        ca = KVCache.create(cfg, batch, 255, kind="i8", local_slack=32)
+        _, ca = forward(params, tokens, positions, ca, cfg,
+                        return_logits="none")
+        cb = ca.copy()
+        tok = jnp.full((batch, 1), 7, jnp.int32)
+        pos = jnp.full((batch, 1), t, jnp.int32)
+        want, ca = forward(params, tok, pos, ca, cfg,
+                           return_logits="last")
+        got, cb = forward_scan(sparams, tok, pos, cb, cfg,
+                               return_logits="last")
+        ok = check("scan_forward decode step vs unrolled", got, want,
+                   1e-4, 1e-4)
+        ok &= check("scan_forward cache pools", cb.k_layer(1),
+                    ca.k_layer(1), 1e-5, 1e-5)
+        return ok
+    g.run("scan forward", sec_scan_forward)
+
     print("ALL PASS" if g.ok else "FAILURES PRESENT")
     sys.exit(0 if g.ok else 1)
 

@@ -84,11 +84,12 @@ def measure_decode(config, kind: str, kv_kind: str, batch: int,
     cache = KVCache.create(config, batch, seq_len, kind=kv_kind)
     start_pos = seq_len // 2
 
-    # Scan-over-layers decode (engine/scan_decode.py): one lax.scan body
-    # instead of L unrolled layers.  GEMMA_SCAN_DECODE=0 is the A/B
-    # escape hatch; unstackable layouts fall back to the unrolled step.
+    # Scan-over-layers decode (engine/scan_decode.py): opt-in via
+    # GEMMA_SCAN_DECODE=1 — 8x smaller programs / 2x faster compiles but
+    # 0.93x step time on v5e (scripts/scan_ablate.py), so the headline
+    # stays on the unrolled step.
     fwd = forward
-    if os.environ.get("GEMMA_SCAN_DECODE", "1") != "0":
+    if os.environ.get("GEMMA_SCAN_DECODE", "0") == "1":
         from gemma_tpu.engine.scan_decode import (build_scan_params,
                                                   forward_scan)
 

@@ -93,15 +93,19 @@ class GemmaEngine:
     def scan_params(self):
         """Stacked [T, ...] params for the scan-over-layers decode
         (engine/scan_decode.py: one lax.scan body instead of L unrolled
-        layers), built lazily on first decode.  None when ineligible —
-        mesh mode (TP shards per-layer), per-layer codec scales that
-        cannot stack (load with --kind i8/--kind i4), non-periodic layer
-        patterns — or when disabled via GEMMA_SCAN_DECODE=0 (the
-        unrolled-vs-scan A/B escape hatch)."""
+        layers), built lazily on first decode.  Opt-in via
+        GEMMA_SCAN_DECODE=1: the scan halves compile time and shrinks the
+        program 8x (852 vs 7038 HLO instructions at 2B), but measures
+        0.93x step time on v5e (scalar-prefetch indirection across ~180
+        kernels/step; scripts/scan_ablate.py) — so the default decode
+        stays unrolled and scan is for compile-bound/many-shape serving.
+        None when ineligible: mesh mode (TP shards per-layer), per-layer
+        codec scales that cannot stack (load with --kind i8/--kind i4),
+        or non-periodic layer patterns."""
         if not hasattr(self, "_scan_params_cache"):
             sp = None
             if self.mesh is None and \
-                    os.environ.get("GEMMA_SCAN_DECODE", "1") != "0":
+                    os.environ.get("GEMMA_SCAN_DECODE", "0") == "1":
                 from gemma_tpu.engine.scan_decode import build_scan_params
 
                 sp = build_scan_params(self.params, self.config)

@@ -32,8 +32,8 @@ def hlo_op_counts(compiled) -> dict:
     """fusion/custom-call counts of a compiled executable's optimized HLO."""
     txt = compiled.as_text()
     counts = collections.Counter()
-    for m in re.finditer(r"^\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*[\w()\[\],\s]*"
-                         r"(fusion|custom-call)\(", txt, re.M):
+    for m in re.finditer(r"=\s*[\w\[\],{}/#\s]*\s(fusion|custom-call)\(",
+                         txt):
         counts[m.group(1)] += 1
     counts["total_instructions"] = sum(
         1 for _ in re.finditer(r"^\s*(?:ROOT\s+)?%?[\w.-]+\s*=", txt, re.M))

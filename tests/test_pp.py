@@ -189,6 +189,29 @@ def test_pp_microbatched_bounded():
                                    atol=3e-2, err_msg=f"step {i}")
 
 
+def test_pp_tick_counted_utilization():
+    """with_ticks returns the MEASURED busy chip-tick count: m*n busy of
+    n*(m+n-1) total — the m/(m+n-1) bubble formula, counted inside the
+    shard_map body rather than asserted analytically (VERDICT r3 #6)."""
+    windows = (16, SEQ + 1) * 4
+    config = pp_config(windows)
+    params = synth_params(config, kind="f32", seed=13)
+    batch, t = 8, 16
+    cache = _prefilled(config, params, batch, t, "bf16", seed=13)
+    mesh = make_mesh(8)
+    n = mesh.shape["model"]
+    stacked = stack_layers(params)
+    for m in (1, 4, 8):
+        pp_cache = shard_cache_pp(cache.copy(), mesh)
+        step = build_pp_decode(config, mesh, pp_cache, n_micro=m,
+                               with_ticks=True)
+        tok = jnp.full((batch, 1), 3, jnp.int32)
+        pos = jnp.full((batch, 1), t, jnp.int32)
+        _, _, busy = step(stacked, params.embedding, params.final_norm,
+                          tok, pos, pp_cache)
+        assert int(np.asarray(busy).ravel()[0]) == m * n, (m, busy)
+
+
 def test_pp_guards():
     config = pp_config((SEQ + 1,) * 6)  # 6 layers don't divide 8 stages
     mesh = make_mesh(8)

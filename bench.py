@@ -73,7 +73,8 @@ def smoke_config():
 
 
 def measure_decode(config, kind: str, kv_kind: str, batch: int,
-                   seq_len: int, steps: int, fill: float = 0.5) -> dict:
+                   seq_len: int, steps: int, fill: float = 0.5,
+                   need_prob: bool = True) -> dict:
     """Greedy decode throughput + fraction of HBM speed-of-light.
 
     `fill` sets the KV ring occupancy at measurement start.  The default
@@ -110,7 +111,8 @@ def measure_decode(config, kind: str, kv_kind: str, batch: int,
         def body(carry, _):
             prev, pos, cache = carry
             (tok, _), cache = fwd(params, prev[:, None], pos[:, None],
-                                  cache, config, return_logits="top1")
+                                  cache, config, return_logits="top1",
+                                  top1_need_prob=need_prob)
             tok = tok.astype(jnp.int32)
             return (tok, pos + 1, cache), tok
 
@@ -342,6 +344,12 @@ def main() -> None:
     # the panel kernel read 2x the live span — VERDICT r4 weak #4).
     try_extra("gemma2_2b_i8_decode_b16_ringfull", lambda: slim(
         measure_decode(cfg2b(), "i8", "i8", batch, seq, steps, fill=1.0)))
+    # A/B for the top1 head's in-kernel tanh+exp (VERDICT r4 #2): same
+    # tokens (monotonic argmax), prob skipped — prices what StreamToken's
+    # prob costs at vocab=256K.
+    try_extra("gemma2_2b_i8_decode_b16_noprob", lambda: slim(
+        measure_decode(cfg2b(), "i8", "i8", batch, seq, steps,
+                       need_prob=False)))
     try_extra("gemma2_2b_i4_decode_b16", lambda: slim(measure_decode(
         cfg2b(), "i4", "i8", batch, seq, steps)))
     try_extra("gemma2_2b_sfp_decode_b16", lambda: slim(measure_decode(

@@ -64,6 +64,13 @@ class RuntimeConfig:
     # (per-(position, head) symmetric quantization, ops/kv_quant.py —
     # halves KV HBM traffic again).
     kv_kind: str = "bf16"
+    # Greedy decode computes the winner's softmax prob for StreamToken
+    # parity (gemma.h:103-116 — the callback's second argument).  False
+    # skips the softcap tanh + softmax exp over [B, vocab] in the fused
+    # top1 head (tokens bit-identical, monotonic argmax; callbacks then
+    # receive prob=1.0) — pure-VPU work the TPU cannot overlap with the
+    # MXU, worth skipping when the caller ignores probs.
+    stream_probs: bool = True
 
 
 class GemmaEngine:
@@ -235,10 +242,12 @@ class GemmaEngine:
         with_mask adds an allowed-token mask [V] applied to the logits
         before sampling (vectorized TokenSet constraints stay chunked)."""
         rt = self.runtime
-        key = (batch, k, rt.top_k, rt.temperature, with_mask)
+        key = (batch, k, rt.top_k, rt.temperature, with_mask,
+               rt.stream_probs)
         if key not in self._decode_chunk_fns:
             config = self.config
             top_k, temperature = rt.top_k, rt.temperature
+            need_prob = rt.stream_probs
 
             if self.mesh is not None:
                 from gemma_tpu.parallel import build_tp_decode_chunk
@@ -267,6 +276,7 @@ class GemmaEngine:
                                 params, prev[:, None], pos[:, None], cache,
                                 config, return_logits="top1",
                                 top1_mask=mask[0] if mask else None,
+                                top1_need_prob=need_prob,
                             )
                             tok = tok.astype(jnp.int32)
                             return (tok, pos + 1, cache), (tok, prob)

@@ -152,6 +152,7 @@ def forward_scan(
     valid: jnp.ndarray | None = None,
     top1_mask: jnp.ndarray | None = None,
     top_k_n: int = 0,
+    top1_need_prob: bool = True,
 ) -> tuple:
     """The T == 1 decode step of models/gemma.py:forward, with the layer
     loop as ONE lax.scan over the stacked sparams (build_scan_params).
@@ -265,7 +266,8 @@ def forward_scan(
     if return_logits == "top1":
         tok, prob = matmul_top1(
             x_flat, sparams.embedding, final_cap=config.final_cap,
-            prologue_norm=sparams.final_norm, allowed_mask=top1_mask)
+            prologue_norm=sparams.final_norm, allowed_mask=top1_mask,
+            need_prob=top1_need_prob)
         return (tok, prob), cache
     if return_logits == "topk":
         vals, idxs = matmul_topk(

@@ -280,6 +280,7 @@ def forward(
     valid: jnp.ndarray | None = None,
     top1_mask: jnp.ndarray | None = None,
     top_k_n: int = 0,
+    top1_need_prob: bool = True,
 ) -> tuple[jnp.ndarray | None, KVCache]:
     """Run the full stack over a [B, T] token step.
 
@@ -289,6 +290,10 @@ def forward(
     allowed-token TokenSet); "topk" -> ((values [B, top_k_n], indices
     [B, top_k_n]), cache) fused top-k head for sampled decode;
     "none" -> (None, cache) (prefill).
+    top1_need_prob=False (greedy paths whose callers discard the prob):
+    the token is bit-identical, prob returns 1.0, and the head kernel
+    skips the softcap tanh + softmax exp over the [B, vocab] row (pure
+    VPU work serial with the MXU dots — ops/matmul.py:_top1_kernel).
     image_embeddings/image_slot_mask splice precomputed image token rows into
     the embedding stream (gemma.cc:144-157, PaliGemma/VLM prefill).
     """
@@ -332,7 +337,8 @@ def forward(
         # ops-inl.h:1228-1257.
         tok, prob = matmul_top1(
             x[:, -1, :], params.embedding, final_cap=config.final_cap,
-            prologue_norm=params.final_norm, allowed_mask=top1_mask)
+            prologue_norm=params.final_norm, allowed_mask=top1_mask,
+            need_prob=top1_need_prob)
         return (tok, prob), cache
     if return_logits == "topk":
         vals, idxs = matmul_topk(

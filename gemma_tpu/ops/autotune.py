@@ -60,12 +60,27 @@ def _device_slug() -> str:
     return named.get(kind, kind.replace("tpu ", "").replace(" ", "-"))
 
 
-def _key(m: int, k: int, n: int, kind: str) -> str:
-    return f"{jax.default_backend()}|{_device_slug()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+# Kernel variants that can be tuned independently of the plain GEMM
+# (VERDICT r4 #2: the fused heads' in-kernel epilogues change the optimal
+# tiling — the reference tunes the kernel it actually RUNS per shape,
+# ops/matmul.cc:63-341, never a proxy).  "plain" keeps the legacy key
+# format so winners swept in earlier rounds stay valid.
+VARIANTS = ("plain", "top1", "top1np", "topk", "gated")
 
 
-def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]:
-    """Analytic candidate tiles sized to VMEM (the MMCandidates analog)."""
+def _key(m: int, k: int, n: int, kind: str, variant: str = "plain") -> str:
+    base = f"{jax.default_backend()}|{_device_slug()}|{kind}|{_m_bucket(m)}|{k}|{n}"
+    return base if variant == "plain" else f"{base}|{variant}"
+
+
+def _candidates(m: int, k: int, n: int, kind: str,
+                variant: str = "plain") -> list[tuple[int, int, int]]:
+    """Analytic candidate tiles sized to VMEM (the MMCandidates analog).
+
+    Variant adjustments to the VMEM model: "gated" doubles every B-side
+    term (two weight operands share the A tile); "top1"/"topk" add the
+    f32 accumulator scratch (the output block is [bm, 128], so the
+    [bm, bn] accumulator lives in scratch instead)."""
     b_bytes = CODE_BYTES[kind]
     # NUQ/I4/I8 need bk to cover whole groups (and i4/nuq4 whole 256-wide
     # nibble packing blocks).
@@ -97,12 +112,21 @@ def _candidates(m: int, k: int, n: int, kind: str) -> list[tuple[int, int, int]]
                 # skipped.
                 per_elem = 10 if kind == "nuq4" else 2
                 dequant_tmp = 0 if kind in ("f32", "bf16") else bn * chunk * per_elem
+                b_side = (2 * bn * bk * b_bytes  # double-buffered codes in
+                          + bn * bk * 2          # dequantized B
+                          + dequant_tmp)         # i32 temporaries
+                if variant == "gated":
+                    b_side *= 2
                 vmem = (
-                    2 * (bm * bk * 2 + bn * bk * b_bytes)  # double-buffered in
-                    + bn * bk * 2  # dequantized B
-                    + dequant_tmp  # i32 temporaries in the decode
+                    2 * bm * bk * 2  # double-buffered A
+                    + b_side
                     + bm * bn * 4  # accumulator
                 )
+                if variant == "gated":
+                    vmem += bm * bn * 4  # second accumulator
+                elif variant in ("top1", "top1np", "topk"):
+                    # [bm, bn] acc scratch + [bm, 128] running-state vregs
+                    vmem += bm * bn * 4 + 4 * bm * 128 * 4
                 if vmem <= _VMEM_BUDGET:
                     out.append((bm, bn, bk))
     if not out:
@@ -193,12 +217,32 @@ def _clip(blocks: tuple[int, int, int], m: int, k: int, n: int,
     return bm, bn, bk
 
 
-def best_blocks(m: int, k: int, n: int, kind: str) -> tuple[int, int, int]:
-    """Cached best tile for this shape, or a sensible default (no sweep)."""
-    cached = _load_cache().get(_key(m, k, n, kind))
+def best_blocks(m: int, k: int, n: int, kind: str,
+                variant: str = "plain") -> tuple[int, int, int]:
+    """Cached best tile for this shape, or a sensible default (no sweep).
+
+    Lookup order: the variant-specific winner (measured on the ACTUAL
+    fused kernel), then the plain-GEMM winner (a proxy, but far better
+    than analytic defaults), then the analytic default."""
+    cache = _load_cache()
+    if variant != "plain":
+        cached = cache.get(_key(m, k, n, kind, variant))
+        if cached:
+            return _clip(tuple(cached), m, k, n, kind)
+    cached = cache.get(_key(m, k, n, kind))
     if cached:
         return _clip(tuple(cached), m, k, n, kind)
     return _clip(_default_blocks(m, k, n, kind), m, k, n, kind)
+
+
+def tuned_blocks(m: int, k: int, n: int, kind: str,
+                 variant: str) -> tuple[int, int, int] | None:
+    """The variant-specific winner if one was swept on this machine/device,
+    else None — callers use this to skip proxy-blocks safety shrinks
+    (e.g. gated_ffn's analytic bn halving) when the winner was measured
+    on the real kernel."""
+    cached = _load_cache().get(_key(m, k, n, kind, variant))
+    return _clip(tuple(cached), m, k, n, kind) if cached else None
 
 
 def _dispatch_overhead() -> float:
@@ -215,42 +259,67 @@ def _dispatch_overhead() -> float:
     return min(ts)
 
 
-def _time_blocks(a, w, blocks, reps: int, overhead: float) -> float:
-    """Per-call time of `matmul(a, w, blocks)` via an in-jit scan loop.
+def _time_blocks(a, w, blocks, reps: int, overhead: float,
+                 variant: str = "plain", w2=None, k_top: int = 32) -> float:
+    """Per-call time of the VARIANT's actual kernel via an in-jit scan loop.
 
     A single dispatched call cannot be timed on remote backends (dispatch
     latency swamps kernel time), so the candidate runs `reps` times inside
     one executable with a serializing carry, and the (measured) fixed
     dispatch overhead is subtracted.
     """
-    from gemma_tpu.ops.matmul import matmul
+    from gemma_tpu.ops.matmul import (gated_ffn, matmul, matmul_top1,
+                                      matmul_topk)
 
-    @functools.partial(jax.jit, static_argnames=("blocks", "reps"))
-    def loop(a, w, blocks, reps):
-        def body(carry, _):
+    # Gemma2's final softcap — the transcendental the top1/topk epilogues
+    # actually pay in serving.
+    cap = 30.0
+
+    def call(carry):
+        if variant == "plain":
             out = matmul(carry, w, blocks=blocks)
+            return out[0, 0]
+        if variant in ("top1", "top1np"):
+            tok, prob = matmul_top1(carry, w, final_cap=cap, blocks=blocks,
+                                    need_prob=variant == "top1")
+            return tok[0].astype(jnp.float32) * 1e-6 + prob[0]
+        if variant == "topk":
+            vals, idxs = matmul_topk(carry, w, k_top, final_cap=cap,
+                                     blocks=blocks)
+            return vals[0, 0] + idxs[0, 0].astype(jnp.float32) * 1e-6
+        assert variant == "gated", variant
+        out = gated_ffn(carry, w, w2, blocks=blocks)
+        return out[0, 0]
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def loop(a, reps):
+        def body(carry, _):
+            out = call(carry)
             # Fold a negligible function of the output back into A so scan
             # iterations cannot be reordered or deduplicated.
-            return carry + (out[0, 0] * 1e-30).astype(carry.dtype), ()
+            return carry + (out * 1e-30).astype(carry.dtype), ()
 
         final, _ = jax.lax.scan(body, a, None, length=reps)
         return final[0, 0]
 
-    float(loop(a, w, blocks, reps))  # compile + warm
+    float(loop(a, reps))  # compile + warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(loop(a, w, blocks, reps))
+        float(loop(a, reps))
         best = min(best, time.perf_counter() - t0)
     return max(best - overhead, 1e-9) / reps
 
 
 def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
-             verbose: bool = False) -> tuple[int, int, int]:
-    """Measure candidates for this shape and persist the winner."""
-    from gemma_tpu.ops.matmul import QuantTensor
+             verbose: bool = False,
+             variant: str = "plain") -> tuple[int, int, int]:
+    """Measure candidates for this shape on the variant's ACTUAL kernel
+    and persist the winner (keyed `...|variant` for non-plain)."""
+    from gemma_tpu.ops.matmul import QuantTensor, gated_shrink
 
-    key = _key(m, k, n, kind)
+    assert variant in VARIANTS, variant
+    key = _key(m, k, n, kind, variant)
     cache = dict(_load_cache())
     if key in cache:
         return _clip(tuple(cache[key]), m, k, n, kind)
@@ -288,6 +357,13 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
             "zeropoints": jnp.asarray(np.zeros((n, k // 128), np.float32)),
         }
     w = QuantTensor(kind, (n, k), 1.0, arrays)
+    w2 = None
+    if variant == "gated":
+        # Independent second gate weight (same kind/shape); re-seeding
+        # keeps the two dequant streams from trivially aliasing in VMEM.
+        w2 = QuantTensor(kind, (n, k), 1.0,
+                         {kk: jnp.roll(vv, 1, axis=0)
+                          for kk, vv in arrays.items()})
 
     if reps is None:
         # Aim for ~120ms of loop time per candidate: the tunnel's ~24 ms
@@ -300,14 +376,22 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
         reps = max(48, min(1024, int(0.12 / approx)))
     overhead = _dispatch_overhead()
 
+    cands = _candidates(m, k, n, kind, variant)
+    if variant == "gated":
+        # gated_ffn applies an analytic bn shrink to incoming blocks; fold
+        # it into the candidates so the timed blocks == the persisted
+        # blocks == what serve time runs (then dedupe aliases).
+        cands = [gated_shrink(kind, b, k) for b in cands]
     best, best_t = None, float("inf")
-    for blocks in dict.fromkeys(_candidates(m, k, n, kind)):
+    for blocks in dict.fromkeys(cands):
         try:
-            dt_s = _time_blocks(a, w, blocks, reps, overhead)
+            dt_s = _time_blocks(a, w, blocks, reps, overhead,
+                                variant=variant, w2=w2)
         except Exception:  # noqa: BLE001 - invalid tile for this backend
             continue
         if verbose:
-            gbs = n * k * PACKED_BYTES[kind] / dt_s / 1e9
+            gbs = n * k * PACKED_BYTES[kind] * (2 if variant == "gated"
+                                                else 1) / dt_s / 1e9
             print(f"  {blocks}: {dt_s * 1e6:.1f} us, {gbs:.0f} GB/s")
         if dt_s < best_t:
             best, best_t = blocks, dt_s
@@ -341,11 +425,26 @@ def model_shapes(config, batch_sizes=(16, 256)) -> list[tuple[int, int, int]]:
 
 
 def tune_model(config, kinds=("sfp",), batch_sizes=(16, 256),
-               verbose: bool = True) -> None:
+               verbose: bool = True, variants=("plain",)) -> None:
     """Sweep every GEMM shape of one model (the gemma_batch_bench warmup
-    analog, but persisted)."""
+    analog, but persisted).
+
+    Non-plain variants sweep only the shapes that kernel actually runs:
+    top1/top1np/topk at the logits head (K=model_dim, N=vocab), gated at
+    the FFN gate shape (K=model_dim, N=ff_hidden)."""
+    d = config.model_dim
+    head_shapes = {(m, d, config.vocab_size) for m in batch_sizes}
+    gate_shapes = {(m, d, lc.ff_hidden_dim)
+                   for lc in config.layer_configs for m in batch_sizes}
     for kind in kinds:
-        for m, k, n in model_shapes(config, batch_sizes):
-            if verbose:
-                print(f"tuning {kind} M{m} K{k} N{n}")
-            autotune(m, k, n, kind, verbose=verbose)
+        for variant in variants:
+            if variant == "plain":
+                shapes = model_shapes(config, batch_sizes)
+            elif variant == "gated":
+                shapes = sorted(gate_shapes)
+            else:
+                shapes = sorted(head_shapes)
+            for m, k, n in shapes:
+                if verbose:
+                    print(f"tuning {kind}/{variant} M{m} K{k} N{n}")
+                autotune(m, k, n, kind, verbose=verbose, variant=variant)

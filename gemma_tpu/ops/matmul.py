@@ -1227,7 +1227,8 @@ def _probe_compile(fn, *args, _skip: bool = False, **kwargs) -> bool:
 
 def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
                  cap: float, gk: int, k_logical: int, n_logical: int,
-                 bn: int, has_norm: bool, has_mask: bool, *refs):
+                 bn: int, has_norm: bool, has_mask: bool, need_prob: bool,
+                 *refs):
     """Greedy logits head: argmax + its softmax prob of
     softcap(scale * A.B^T) WITHOUT materializing the [M, N] logits.
 
@@ -1238,6 +1239,14 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
     raw argmax; the capped values feed the prob).  Saves the logits
     write + softcap + argmax HBM round trips (~3 kernels and ~3x[M,N]x4
     bytes per decode step at vocab=256K).
+
+    need_prob=False drops the softcap tanh + exp sum entirely (the token
+    is bit-identical: softcap is monotonic, so the raw argmax IS the
+    capped argmax) and returns prob = 1.0 and the RAW row max.  The
+    tanh+exp over the full [M, N] is pure VPU work Mosaic cannot overlap
+    with the MXU dots (CLAUDE.md lore), so greedy serving paths that
+    never surface the prob skip ~2 transcendentals/element over
+    vocab=256K rows (VERDICT r4 #2's top1-head 425 vs 808 GB/s-eff gap).
     """
     j, k_step = pl.program_id(1), pl.program_id(2)
     nb = _n_b_refs(kind)
@@ -1269,7 +1278,7 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
         block = acc_ref[...]
         if scale != 1.0:
             block = block * jnp.float32(scale)
-        if cap:
+        if cap and need_prob:
             block = jnp.float32(cap) * jnp.tanh(block / jnp.float32(cap))
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
         live = col < n_logical
@@ -1286,39 +1295,48 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
                        axis=-1, keepdims=True)
         m_old, s_old, bi_old = m_ref[:, :1], s_ref[:, :1], bi_ref[:, :1]
         m_new = jnp.maximum(m_old, bmax)
-        # -inf - -inf = NaN guards: m_old=-inf means no live column seen
-        # yet (s_old=0 — drop the rescale term); m_new=-inf means this
-        # block is fully banned too (exp against 0 instead, every term
-        # -inf -> 0).  The unmasked case never hits either after the
-        # first block (N padding < bn leaves >= 1 real column per block).
-        safe_m = jnp.where(jnp.isinf(m_new), 0.0, m_new)
-        s_new = (jnp.where(jnp.isinf(m_old), 0.0,
-                           s_old * jnp.exp(m_old - safe_m))
-                 + jnp.sum(jnp.exp(block - safe_m), axis=-1, keepdims=True))
+        if need_prob:
+            # -inf - -inf = NaN guards: m_old=-inf means no live column
+            # seen yet (s_old=0 — drop the rescale term); m_new=-inf means
+            # this block is fully banned too (exp against 0 instead, every
+            # term -inf -> 0).  The unmasked case never hits either after
+            # the first block (N padding < bn leaves >= 1 real column per
+            # block).
+            safe_m = jnp.where(jnp.isinf(m_new), 0.0, m_new)
+            s_new = (jnp.where(jnp.isinf(m_old), 0.0,
+                               s_old * jnp.exp(m_old - safe_m))
+                     + jnp.sum(jnp.exp(block - safe_m), axis=-1,
+                               keepdims=True))
+            s_ref[...] = jnp.broadcast_to(s_new, s_ref.shape)
         bi_new = jnp.where(bmax > m_old, bidx, bi_old)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        s_ref[...] = jnp.broadcast_to(s_new, s_ref.shape)
         bi_ref[...] = jnp.broadcast_to(bi_new, bi_ref.shape)
 
         @pl.when(j == n_j_steps - 1)
         def _():
             tok_ref[...] = jnp.broadcast_to(bi_new, tok_ref.shape)
-            # A fully-banned allowed_mask leaves s_new = 0; clamp so the
-            # degenerate TokenSet yields a huge-but-finite prob instead of
-            # inf leaking into accept-probability logic (ADVICE r3).
-            prob_ref[...] = jnp.broadcast_to(
-                1.0 / jnp.maximum(s_new, jnp.float32(1e-30)), prob_ref.shape)
+            if need_prob:
+                # A fully-banned allowed_mask leaves s_new = 0; clamp so
+                # the degenerate TokenSet yields a huge-but-finite prob
+                # instead of inf leaking into accept-probability logic
+                # (ADVICE r3).
+                prob_ref[...] = jnp.broadcast_to(
+                    1.0 / jnp.maximum(s_new, jnp.float32(1e-30)),
+                    prob_ref.shape)
+            else:
+                prob_ref[...] = jnp.ones_like(prob_ref)
             # The capped max — with 1/prob (= sum-exp) this is the full
             # online-softmax state, so vocab-sharded TP shards can merge
             # heads with O(M) collectives instead of gathering [M, vocab]
-            # logits (parallel/tp.py).
+            # logits (parallel/tp.py).  With need_prob=False this is the
+            # RAW row max (same argmax ordering under the monotonic cap).
             max_ref[...] = jnp.broadcast_to(m_new, max_ref.shape)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "shape", "scale", "cap", "block_m", "block_n",
-                     "block_k", "interpret"),
+                     "block_k", "interpret", "need_prob"),
 )
 def _top1_pallas(
     a: jnp.ndarray,
@@ -1333,6 +1351,7 @@ def _top1_pallas(
     interpret: bool,
     norm_w: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
+    need_prob: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     m, k_dim = a.shape
     n, k2 = shape
@@ -1366,7 +1385,8 @@ def _top1_pallas(
         inputs.append(_pad2(mask.astype(jnp.int32).reshape(1, -1), 1, np_))
 
     kernel = functools.partial(_top1_kernel, kind, grid[1], grid[2], scale,
-                               cap, gk, k_dim, n, bn, has_norm, has_mask)
+                               cap, gk, k_dim, n, bn, has_norm, has_mask,
+                               need_prob)
     tok, prob, mx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1390,7 +1410,7 @@ def _top1_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp * 2 + np_ * kp + mp * 128 * 12,
-            transcendentals=mp * np_,
+            transcendentals=mp * np_ if need_prob else 0,
         ),
     )(*inputs)
     return tok[:m, 0], prob[:m, 0], mx[:m, 0]
@@ -1576,7 +1596,8 @@ def matmul_topk(
         if blocks is None:
             from gemma_tpu.ops.autotune import best_blocks
 
-            blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+            blocks = best_blocks(a.shape[0], w.k, w.n, w.kind,
+                                 variant="topk")
         if prologue_norm is not None:
             bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)),
                               w.k)
@@ -1623,6 +1644,7 @@ def matmul_top1(
     interpret: bool | None = None,
     use_pallas: bool | None = None,
     want_stats: bool = False,
+    need_prob: bool = True,
 ) -> tuple[jnp.ndarray, ...]:
     """(token, prob) = Top1OfSoftmax(softcap(scale * A @ W^T)) fused into
     the logits GEMM — the [M, vocab] logits never reach HBM
@@ -1634,7 +1656,12 @@ def matmul_top1(
     want_stats=True appends the capped row max [M] — together with
     1/prob (the row sum-exp at that max) this is the full online-softmax
     state, letting vocab-sharded TP merge per-shard heads with O(M)
-    collectives (parallel/tp.py) instead of all-gathering logits."""
+    collectives (parallel/tp.py) instead of all-gathering logits.
+    need_prob=False: the returned token is bit-identical (softcap is
+    monotonic) but prob is a constant 1.0 and the stats max is the RAW
+    row max — drops the in-kernel tanh+exp over [M, N] (pure VPU work
+    serial with the MXU), for greedy paths whose callers never surface
+    the prob (e.g. chunked decode without a stream callback)."""
     if interpret is None:
         interpret = _interpret_default()
     if use_pallas is None:
@@ -1645,7 +1672,8 @@ def matmul_top1(
         if blocks is None:
             from gemma_tpu.ops.autotune import best_blocks
 
-            blocks = best_blocks(a.shape[0], w.k, w.n, w.kind)
+            blocks = best_blocks(a.shape[0], w.k, w.n, w.kind,
+                                 variant="top1" if need_prob else "top1np")
         if prologue_norm is not None:
             bk = _legalize_bk(w.kind, min(blocks[2], round_up(w.k, 128)),
                               w.k)
@@ -1654,7 +1682,8 @@ def matmul_top1(
         if not _probe_compile(
                 _top1_pallas, a, w.arrays, w.kind, w.shape, float(w.scale),
                 float(final_cap), *blocks, interpret=False,
-                norm_w=norm_w, mask=allowed_mask, _skip=interpret):
+                norm_w=norm_w, mask=allowed_mask, need_prob=need_prob,
+                _skip=interpret):
             head_pallas = False
             norm_w = None
     if prologue_norm is not None and norm_w is None:
@@ -1668,18 +1697,24 @@ def matmul_top1(
         from gemma_tpu.ops.ops import soft_cap
         from gemma_tpu.ops.sampling import NEG_INF, top1
 
-        logits = soft_cap(final_cap, matmul(
-            a, w, out_dtype=jnp.float32, interpret=interpret,
-            use_pallas=use_pallas))
+        logits = matmul(a, w, out_dtype=jnp.float32, interpret=interpret,
+                        use_pallas=use_pallas)
+        if need_prob:
+            logits = soft_cap(final_cap, logits)
         if allowed_mask is not None:
             logits = jnp.where(allowed_mask.astype(bool), logits, NEG_INF)
-        tok, prob = top1(logits)
+        if need_prob:
+            tok, prob = top1(logits)
+        else:  # raw argmax == capped argmax (monotonic); prob constant
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            prob = jnp.ones(logits.shape[0], jnp.float32)
         if want_stats:
             return tok, prob, jnp.max(logits, axis=-1)
         return tok, prob
     tok, prob, mx = _top1_pallas(
         a, w.arrays, w.kind, w.shape, float(w.scale), float(final_cap),
-        *blocks, interpret=interpret, norm_w=norm_w, mask=allowed_mask)
+        *blocks, interpret=interpret, norm_w=norm_w, mask=allowed_mask,
+        need_prob=need_prob)
     return (tok, prob, mx) if want_stats else (tok, prob)
 
 
@@ -1723,6 +1758,27 @@ def _probe_gated_compile(x, w1: QuantTensor, w2: QuantTensor,
     return ok
 
 
+def gated_shrink(kind: str, blocks: tuple[int, int, int],
+                 k: int) -> tuple[int, int, int]:
+    """Analytic bn shrink for plain-GEMM proxy blocks entering the gated
+    kernel (doubled B operands + accumulators).  Shared with the autotune
+    sweep so a persisted "gated" winner names blocks that run VERBATIM at
+    serve time (timed == persisted == served)."""
+    bm, bn, bk = blocks
+    bkl = _legalize_bk(kind, min(bk, round_up(k, 128)), k)
+    b_bytes = CODE_BYTES[kind]
+    per_elem = 0 if kind in ("f32", "bf16") else 8
+
+    def est_vmem(bn_):
+        return (2 * (bm * bkl * 2 + 2 * bn_ * bkl * b_bytes)
+                + 2 * bn_ * min(bkl, 512) * per_elem
+                + 2 * bn_ * bkl * 2 + 2 * bm * bn_ * 4)
+
+    while bn > 128 and est_vmem(bn) > 10 * 1024 * 1024:
+        bn = (bn // 2 + 127) // 128 * 128
+    return (bm, max(bn, 128), bk)
+
+
 def gated_ffn(
     x: jnp.ndarray,
     w1: QuantTensor,
@@ -1749,27 +1805,25 @@ def gated_ffn(
     if use_pallas is None:
         use_pallas = True
     if use_pallas and w1.kind == w2.kind and w1.shape == w2.shape:
+        tuned = None
         if blocks is None:
-            from gemma_tpu.ops.autotune import best_blocks
+            from gemma_tpu.ops.autotune import best_blocks, tuned_blocks
 
-            blocks = best_blocks(x.shape[0], w1.k, w1.n, w1.kind)
-        # Blocks are tuned for the single-B plain kernel; the gated kernel
-        # doubles the B operands and accumulators.  Shrink bn analytically
-        # first, stepping only through 128-multiples (halving 384 -> 192
-        # would itself break Mosaic tiling for the nibble codecs).
+            # A variant winner was measured on THIS kernel (doubled B
+            # operands included), so the analytic proxy shrink below must
+            # not second-guess it (VERDICT r4 #2).
+            tuned = tuned_blocks(x.shape[0], w1.k, w1.n, w1.kind, "gated")
+            blocks = tuned if tuned is not None else best_blocks(
+                x.shape[0], w1.k, w1.n, w1.kind)
+        if tuned is None:
+            # Blocks are tuned for the single-B plain kernel; the gated
+            # kernel doubles the B operands and accumulators.  Shrink bn
+            # analytically first, stepping only through 128-multiples
+            # (halving 384 -> 192 would itself break Mosaic tiling for
+            # the nibble codecs).
+            blocks = gated_shrink(w1.kind, blocks, w1.k)
         bm, bn, bk = blocks
         bkl = _legalize_bk(w1.kind, min(bk, round_up(w1.k, 128)), w1.k)
-        b_bytes = CODE_BYTES[w1.kind]
-        per_elem = 0 if w1.kind in ("f32", "bf16") else 8
-
-        def est_vmem(bn_):
-            return (2 * (bm * bkl * 2 + 2 * bn_ * bkl * b_bytes)
-                    + 2 * bn_ * min(bkl, 512) * per_elem
-                    + 2 * bn_ * bkl * 2 + 2 * bm * bn_ * 4)
-
-        while bn > 128 and est_vmem(bn) > 10 * 1024 * 1024:
-            bn = (bn // 2 + 127) // 128 * 128
-        blocks = (bm, max(bn, 128), bk)
         if layer is not None:
             assert "stacked" in w1.flags and "stacked" in w2.flags
             # Stacked arrays are tile-exact: bn must divide the stored N

@@ -2,6 +2,10 @@
 the winners into the packaged cache (gemma_tpu/ops/autotune_cache.json).
 
 Usage: python scripts/tune.py [model ...] [--kinds sfp,bf16,...] [--ms 16,256]
+       [--variants plain,top1,top1np,topk,gated]
+
+Non-plain variants sweep the ACTUAL fused kernel (VERDICT r4 #2): top1/
+top1np/topk at the logits-head shape, gated at the FFN gate shape.
 """
 
 import argparse
@@ -20,14 +24,17 @@ def main() -> None:
     p.add_argument("models", nargs="*", default=["gemma2_2b"])
     p.add_argument("--kinds", default="sfp")
     p.add_argument("--ms", default="16,256")
+    p.add_argument("--variants", default="plain")
     args = p.parse_args()
 
     kinds = args.kinds.split(",")
     ms = tuple(int(x) for x in args.ms.split(","))
+    variants = tuple(args.variants.split(","))
     for name in args.models or ["gemma2_2b"]:
         config = getattr(C, f"config_{name}")()
-        print(f"=== {name} {kinds} M={ms} ===")
-        at.tune_model(config, kinds=kinds, batch_sizes=ms)
+        print(f"=== {name} {kinds} M={ms} variants={variants} ===")
+        at.tune_model(config, kinds=kinds, batch_sizes=ms,
+                      variants=variants)
 
     # Merge the user cache (where autotune persists) into the packaged one.
     with open(at._CACHE_PATH) as f:

@@ -86,6 +86,34 @@ def test_stream_false_stops():
     assert len(out) <= 2
 
 
+def test_stream_probs_off_same_tokens():
+    """stream_probs=False: identical token stream (argmax is invariant
+    under the monotonic softcap), stream callbacks see prob=1.0."""
+    rng = np.random.default_rng(7)
+    engine, w, config = make_engine(rng)
+    prompt = rng.integers(2, config.vocab_size, 6).tolist()
+    want = engine.generate(prompt, max_generated_tokens=5)
+
+    engine_np, _, _ = make_engine(np.random.default_rng(7),
+                                  stream_probs=False)
+    probs = []
+
+    def stream(qi, pos, token, prob):
+        probs.append(prob)
+        return True
+
+    got = engine_np.generate(prompt, max_generated_tokens=5,
+                             stream_token=stream)
+    assert got == want
+    # Tokens from the chunked fused-head path carry the constant 1.0;
+    # remainder steps that fall to the k==1 single-step path sample from
+    # materialized logits where the real prob is free — so check the
+    # CHUNKED tokens (the first decode_chunk of the generated stream).
+    gen_probs = probs[len(prompt):]
+    assert all(np.isfinite(p) for p in gen_probs)
+    assert all(p == 1.0 for p in gen_probs[:engine_np.runtime.decode_chunk])
+
+
 def test_generate_fast_matches_generate():
     rng = np.random.default_rng(4)
     engine, w, config = make_engine(rng)

@@ -136,6 +136,38 @@ def test_autotune_cache(tmp_path, monkeypatch):
     assert bm <= 8 and bn <= 128 and bk <= 256
 
 
+def test_autotune_variant_keys(tmp_path, monkeypatch):
+    """Fused-kernel variants tune on their OWN keys (VERDICT r4 #2): a
+    variant sweep persists `...|variant`, best_blocks prefers it, falls
+    back to the plain winner, and tuned_blocks is None before a sweep."""
+    import json
+
+    from gemma_tpu.ops import autotune as at
+
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    at._load_cache.cache_clear()
+    try:
+        assert at.tuned_blocks(8, 256, 384, "f32", "top1np") is None
+        b_top1 = at.autotune(8, 256, 384, "f32", reps=1, variant="top1np")
+        keys = list(json.load(open(tmp_path / "cache.json")))
+        assert any(k.endswith("|top1np") for k in keys), keys
+        assert at.tuned_blocks(8, 256, 384, "f32", "top1np") == b_top1
+        assert at.best_blocks(8, 256, 384, "f32", variant="top1np") == b_top1
+        # No plain entry yet: plain lookups ignore the variant winner.
+        # And an untuned variant falls back to the plain winner once the
+        # plain sweep lands.
+        b_plain = at.autotune(8, 256, 384, "f32", reps=1)
+        assert at.best_blocks(8, 256, 384, "f32", variant="gated") == b_plain
+        # The gated sweep times what serve time runs: winners survive
+        # gated_ffn's analytic shrink unchanged.
+        from gemma_tpu.ops.matmul import gated_shrink
+
+        b_gated = at.autotune(8, 256, 384, "f32", reps=1, variant="gated")
+        assert gated_shrink("f32", b_gated, 256) == b_gated
+    finally:
+        at._load_cache.cache_clear()
+
+
 @pytest.mark.parametrize("kind",
                          ["f32", "bf16", "sfp", "nuq", "nuq4", "i4", "i8"])
 def test_gated_ffn_fused_matches_fallback(kind):
@@ -456,6 +488,40 @@ def test_matmul_top1_allowed_mask():
         allowed[np.asarray(got_tok)].all()
     np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "sfp", "i8"])
+def test_matmul_top1_need_prob_false(kind):
+    """need_prob=False: tokens BIT-identical to the full head (softcap is
+    monotonic, so the raw argmax is the capped argmax), prob constant 1.0
+    — on both the fused kernel and the composed fallback, with and
+    without an allowed mask."""
+    from gemma_tpu.ops.matmul import matmul_top1
+
+    rng = np.random.default_rng(41)
+    m, k, n = 8, 512, 1000
+    a, w, _ = _mk(kind, m, k, n, rng)
+    a = a.astype(jnp.bfloat16)
+    allowed = np.zeros((n,), bool)
+    allowed[::5] = True
+    for mask in (None, jnp.asarray(allowed)):
+        want_tok, _ = matmul_top1(a, w, final_cap=30.0, allowed_mask=mask,
+                                  blocks=(8, 256, 512))
+        got_tok, got_prob = matmul_top1(a, w, final_cap=30.0,
+                                        allowed_mask=mask,
+                                        blocks=(8, 256, 512),
+                                        need_prob=False)
+        np.testing.assert_array_equal(np.asarray(got_tok),
+                                      np.asarray(want_tok))
+        np.testing.assert_array_equal(np.asarray(got_prob),
+                                      np.ones(m, np.float32))
+        fb_tok, fb_prob = matmul_top1(a, w, final_cap=30.0,
+                                      allowed_mask=mask, use_pallas=False,
+                                      need_prob=False)
+        np.testing.assert_array_equal(np.asarray(fb_tok),
+                                      np.asarray(want_tok))
+        np.testing.assert_array_equal(np.asarray(fb_prob),
+                                      np.ones(m, np.float32))
 
 
 @pytest.mark.parametrize("kind", ["bf16", "sfp", "i8"])

@@ -6,6 +6,8 @@
 # ref_codec:  drives the reference's SFP/NUQ/I8 codecs (stdin/stdout).
 # ref_fields: serializes the reference's ModelConfig via its fields.h
 #             wire format.
+# ref_blob:   writes/reads .sbs blob containers via the reference's
+#             BlobWriter/BlobReader (V1+V2 layout byte-parity).
 set -eu
 cd "$(dirname "$0")"
 REF=${REF:-/root/reference}
@@ -21,4 +23,8 @@ g++ $CXXFLAGS -DGEMMA_DISABLE_TOPOLOGY=1 -ffunction-sections -fdata-sections \
     -I shim -I "$HWY" -I "$REF" \
     ref_fields.cc "$REF/gemma/configs.cc" "$REF/io/fields.cc" \
     shim/hwy_alloc_shim.cc -Wl,--gc-sections -o ref_fields
-echo "built $(pwd)/{ref_codec,ref_fields}"
+g++ $CXXFLAGS -DGEMMA_DISABLE_TOPOLOGY=1 -ffunction-sections -fdata-sections \
+    -I shim -I "$HWY" -I "$REF" \
+    ref_blob.cc "$REF/io/blob_store.cc" "$REF/io/io.cc" \
+    shim/hwy_alloc_shim.cc -Wl,--gc-sections -o ref_blob
+echo "built $(pwd)/{ref_codec,ref_fields,ref_blob}"

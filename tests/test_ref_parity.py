@@ -48,18 +48,20 @@ def harness():
         pytest.skip("g++ not available")
     codec = HARNESS_DIR / "ref_codec"
     fields = HARNESS_DIR / "ref_fields"
+    blob = HARNESS_DIR / "ref_blob"
     srcs = [HARNESS_DIR / "ref_codec.cc", HARNESS_DIR / "ref_fields.cc",
-            HARNESS_DIR / "build.sh"]
+            HARNESS_DIR / "ref_blob.cc", HARNESS_DIR / "build.sh"]
     newest_src = max(p.stat().st_mtime for p in srcs)
-    if (not codec.exists() or not fields.exists()
-            or codec.stat().st_mtime < newest_src):
+    if (not codec.exists() or not fields.exists() or not blob.exists()
+            or codec.stat().st_mtime < newest_src
+            or blob.stat().st_mtime < newest_src):
         r = subprocess.run(
             ["bash", str(HARNESS_DIR / "build.sh")], capture_output=True,
             text=True, env={"PATH": "/usr/bin:/bin", "REF": str(REF),
                             "HWY": str(HWY)})
         if r.returncode != 0:
             pytest.skip(f"harness build failed: {r.stderr[-500:]}")
-    return {"codec": str(codec), "fields": str(fields)}
+    return {"codec": str(codec), "fields": str(fields), "blob": str(blob)}
 
 
 def _run(binary: str, args: list[str], stdin: bytes) -> bytes:
@@ -197,3 +199,87 @@ def test_model_config_wire_parity(harness):
             assert ours == ref, (
                 f"config wire bytes differ for {spec} "
                 f"({len(ours)} vs {len(ref)} bytes)")
+
+
+def _blob_fixture_set():
+    """Blob sets exercising the container's layout corners: 1 blob, many
+    blobs, non-256-multiple sizes (padding), sizes crossing the reference's
+    write-chunking, and a 16-char key (the u128 limit)."""
+    rng = np.random.default_rng(7)
+
+    def blobs(sizes, prefix):
+        return [(f"{prefix}{i}", rng.integers(0, 256, s).astype(np.uint8))
+                for i, s in enumerate(sizes)]
+
+    return {
+        "single": blobs([1], "one"),
+        "pads": blobs([1, 255, 256, 257, 4096, 100_000], "pad"),
+        "many": blobs([1000 + 13 * i for i in range(40)], "blob"),
+        "maxkey": [("abcdefghij123456",
+                    rng.integers(0, 256, 512).astype(np.uint8))],
+    }
+
+
+def test_blob_container_write_parity(harness, tmp_path):
+    """Our V2 .sbs writer produces files BYTE-IDENTICAL to the reference's
+    BlobWriter for the same (key, data) sequence (blob_store.cc:36-145:
+    256-B blob alignment, trailing directory + header, 64 KiB end pad)."""
+    from gemma_tpu.io.blob_store import BlobWriter
+
+    for name, blobs in _blob_fixture_set().items():
+        stdin = [np.uint32(len(blobs)).tobytes()]
+        for key, data in blobs:
+            stdin += [np.uint32(len(key)).tobytes(), key.encode(),
+                      np.uint64(data.size).tobytes(), data.tobytes()]
+        ref_path = tmp_path / f"ref_{name}.sbs"
+        _run(harness["blob"], ["write", str(ref_path)], b"".join(stdin))
+
+        our_path = tmp_path / f"our_{name}.sbs"
+        w = BlobWriter(str(our_path))
+        for key, data in blobs:
+            w.add(key, data)
+        w.finalize()
+
+        ref_bytes = ref_path.read_bytes()
+        our_bytes = our_path.read_bytes()
+        assert our_bytes == ref_bytes, (
+            f"{name}: container differs ({len(our_bytes)} vs "
+            f"{len(ref_bytes)} bytes)")
+
+
+def test_blob_container_read_parity(harness, tmp_path):
+    """Cross-reads: the reference's BlobReader reads OUR file (keys, order,
+    contents exact) and our reader reads the REFERENCE's file."""
+    from gemma_tpu.io.blob_store import BlobReader, BlobWriter
+
+    blobs = _blob_fixture_set()["pads"]
+    our_path = tmp_path / "ours.sbs"
+    w = BlobWriter(str(our_path))
+    for key, data in blobs:
+        w.add(key, data)
+    w.finalize()
+
+    # Reference reads our file.
+    out = _run(harness["blob"], ["read", str(our_path)], b"")
+    pos = 0
+    n = int(np.frombuffer(out[pos:pos + 4], np.uint32)[0]); pos += 4
+    assert n == len(blobs)
+    for key, data in blobs:
+        klen = int(np.frombuffer(out[pos:pos + 4], np.uint32)[0]); pos += 4
+        got_key = out[pos:pos + klen].decode(); pos += klen
+        dlen = int(np.frombuffer(out[pos:pos + 8], np.uint64)[0]); pos += 8
+        got = np.frombuffer(out[pos:pos + dlen], np.uint8); pos += dlen
+        assert got_key == key
+        assert np.array_equal(got, data), key
+    assert pos == len(out)
+
+    # Our reader reads the reference's file.
+    stdin = [np.uint32(len(blobs)).tobytes()]
+    for key, data in blobs:
+        stdin += [np.uint32(len(key)).tobytes(), key.encode(),
+                  np.uint64(data.size).tobytes(), data.tobytes()]
+    ref_path = tmp_path / "theirs.sbs"
+    _run(harness["blob"], ["write", str(ref_path)], b"".join(stdin))
+    with BlobReader(str(ref_path)) as r:
+        for key, data in blobs:
+            assert np.array_equal(r.read(key), data), key

@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--psum-share", action="store_true",
                    help="also time a collective-free (numerically wrong) "
                         "variant to report the psum/all_gather cost share")
+    p.add_argument("--n_micro", type=int, default=0,
+                   help="PP microbatches per step (0 = stage count; "
+                        "utilization = m/(m+n-1), see scripts/pp_sweep.py "
+                        "+ docs/PARALLEL.md for the sizing rule)")
     p.add_argument("--prefill", type=int, default=0,
                    help="also time a prefill chunk of this many tokens, "
                         "sync vs overlap_chunks=4 (VERDICT r1 weak #4)")
@@ -214,7 +218,9 @@ def _run_mode(args, config, params_host, sizes) -> None:
                 fn = lambda c: chunk(params_host, tok, pos, c)  # noqa: E731
             else:
                 c = shard_cache_pp(cache, mesh)
-                chunk = build_pp_decode_chunk(config, mesh, c, args.steps)
+                chunk = build_pp_decode_chunk(
+                    config, mesh, c, args.steps,
+                    n_micro=args.n_micro or None)
                 stacked = stack_layers(params_host)
                 fn = lambda c: chunk(  # noqa: E731
                     stacked, params_host.embedding, params_host.final_norm,

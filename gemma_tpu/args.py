@@ -33,7 +33,9 @@ class InferenceArgs:
 
     seq_len: int = field(8192, "KV cache sequence length")
     max_generated_tokens: int = field(2048, "Max tokens to generate")
-    prefill_tbatch_size: int = field(256, "Prefill token batch size")
+    prefill_tbatch_size: int = field(
+        0, "Prefill token batch size (0 = auto by batch: the measured "
+           "winners 1024 at batch 1, 512 at batch >= 2 — docs/PERF.md §5)")
     decode_qbatch_size: int = field(16, "Decode query batch size")
     temperature: float = field(1.0, "Sampling temperature")
     top_k: int = field(1, "Top-K sampling (1 = greedy)")

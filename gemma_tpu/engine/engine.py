@@ -47,7 +47,11 @@ class RuntimeConfig:
     """Maps InferenceArgs/RuntimeConfig (gemma/gemma_args.h:114-265)."""
 
     max_generated_tokens: int = 2048
-    prefill_tbatch_size: int = 256
+    # 0 = auto-select by batch from the measured winners (docs/PERF.md §5:
+    # 1024 at batch 1, 512 at batch >= 2, capped to the prompt length and
+    # the cache's local ring slack).  >0 pins the chunk like the
+    # reference's flag (gemma/gemma_args.h:199-207).
+    prefill_tbatch_size: int = 0
     decode_qbatch_size: int = 16
     temperature: float = 1.0
     top_k: int = 1
@@ -323,6 +327,23 @@ class GemmaEngine:
 
     # --- public API ---
 
+    def prefill_chunk(self, batch: int, max_len: int | None = None) -> int:
+        """The prefill chunk this engine will use for a `batch`-query call.
+
+        Explicit runtime.prefill_tbatch_size (> 0) wins.  Auto (0) applies
+        the measured winners (docs/PERF.md §5: 1024 tok at batch 1 —
+        26,320 vs 21,429 tok/s at 256 — and 512 at batch >= 2, +8.7% at
+        b4), capped to the next power of two >= the prompt length (the
+        step pads [batch, chunk], so an oversized chunk wastes MXU rows
+        on short prompts; the cap also bounds the jit-signature count).
+        """
+        chunk = self.runtime.prefill_tbatch_size
+        if chunk <= 0:
+            chunk = 1024 if batch == 1 else 512
+            if max_len is not None and max_len < chunk:
+                chunk = max(64, 1 << (max_len - 1).bit_length())
+        return chunk
+
     def new_cache(self, batch: int, seq_len: int | None = None,
                   min_local_slack: int = 0) -> KVCache:
         """Create a cache sized for this engine's prefill chunks.
@@ -338,7 +359,7 @@ class GemmaEngine:
         from gemma_tpu.models.configs import PromptWrapping
         from gemma_tpu.models.kv_cache import LOCAL_RING_SLACK
 
-        slack = max(LOCAL_RING_SLACK, self.runtime.prefill_tbatch_size,
+        slack = max(LOCAL_RING_SLACK, self.prefill_chunk(batch),
                     min_local_slack)
         split = self.config.wrapping != PromptWrapping.PALIGEMMA
         cache = KVCache.create(self.config, batch,
@@ -377,7 +398,14 @@ class GemmaEngine:
         batch = len(prompts)
         start_pos = list(start_pos or [0] * batch)
         prefix_end = list(prefix_end or [0] * batch)
-        chunk_size = self.runtime.prefill_tbatch_size
+        chunk_size = self.prefill_chunk(
+            batch, max(len(p) for p in prompts))
+        if self.runtime.prefill_tbatch_size <= 0 and cache.kv_local is not None:
+            # Auto mode bends to a caller-provided cache's smaller local
+            # ring slack (the chunk is a tuning knob, not a correctness
+            # contract; engine-created caches size slack to the auto
+            # winner via new_cache).
+            chunk_size = min(chunk_size, cache.local_slack)
         if any(pe > 0 for pe in prefix_end):
             # Prefix-LM queries attend FORWARD within the prefix, so every
             # prefix row must be written in the same chunk (the reference

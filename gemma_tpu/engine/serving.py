@@ -106,7 +106,8 @@ class ContinuousBatcher:
         self.slots = slots or engine.runtime.decode_qbatch_size
         self.seq_len = seq_len or engine.runtime.seq_len
         self.admission_chunk = (admission_chunk
-                                or engine.runtime.prefill_tbatch_size)
+                                or engine.prefill_chunk(
+                                    engine.runtime.decode_qbatch_size))
         self.cache = engine.new_cache(self.slots, self.seq_len)
         self._slots = [_Slot() for _ in range(self.slots)]
         self._queue: deque[Request] = deque()

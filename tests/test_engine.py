@@ -114,7 +114,25 @@ def test_stream_probs_off_same_tokens():
     assert all(p == 1.0 for p in gen_probs[:engine_np.runtime.decode_chunk])
 
 
-def test_generate_fast_matches_generate():
+def test_prefill_chunk_auto_selection():
+    """Auto prefill chunk (VERDICT r4 #3): the measured winners by batch
+    (PERF.md §5 — 1024 at b=1, 512 at b>=2), capped to the prompt's
+    pow2 envelope and to a caller cache's local ring slack; explicit
+    prefill_tbatch_size pins it; generation unchanged either way."""
+    rng = np.random.default_rng(8)
+    engine, w, config = make_engine(rng)  # explicit tbatch=8 via make_engine
+    assert engine.prefill_chunk(1) == 8
+    auto = GemmaEngine(engine.params, config,
+                       RuntimeConfig(seq_len=64, verbosity=0))
+    assert auto.runtime.prefill_tbatch_size == 0
+    assert auto.prefill_chunk(1) == 1024
+    assert auto.prefill_chunk(4) == 512
+    assert auto.prefill_chunk(1, max_len=100) == 128  # pow2 envelope
+    assert auto.prefill_chunk(4, max_len=5) == 64     # floor
+    assert auto.prefill_chunk(4, max_len=600) == 512  # target caps
+    prompt = rng.integers(2, config.vocab_size, 9).tolist()
+    want = engine.generate(prompt, max_generated_tokens=4)
+    assert auto.generate(prompt, max_generated_tokens=4) == want
     rng = np.random.default_rng(4)
     engine, w, config = make_engine(rng)
     prompt = rng.integers(2, config.vocab_size, 6).tolist()

@@ -71,9 +71,11 @@ class RuntimeConfig:
     # Greedy decode computes the winner's softmax prob for StreamToken
     # parity (gemma.h:103-116 — the callback's second argument).  False
     # skips the softcap tanh + softmax exp over [B, vocab] in the fused
-    # top1 head (tokens bit-identical, monotonic argmax; callbacks then
-    # receive prob=1.0) — pure-VPU work the TPU cannot overlap with the
-    # MXU, worth skipping when the caller ignores probs.
+    # top1 head (callbacks then receive prob=1.0) — pure-VPU work the TPU
+    # cannot overlap with the MXU, worth skipping when the caller ignores
+    # probs.  Tokens are the exact-real greedy winner (raw-logits argmax;
+    # identical to the capped path except where f32 tanh saturation
+    # collapses distinct logits into exact ties — see matmul_top1).
     stream_probs: bool = True
 
 

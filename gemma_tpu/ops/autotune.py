@@ -275,7 +275,7 @@ def _time_blocks(a, w, blocks, reps: int, overhead: float,
     # actually pay in serving.
     cap = 30.0
 
-    def call(carry):
+    def call(carry, w, w2):
         if variant == "plain":
             out = matmul(carry, w, blocks=blocks)
             return out[0, 0]
@@ -291,10 +291,13 @@ def _time_blocks(a, w, blocks, reps: int, overhead: float,
         out = gated_ffn(carry, w, w2, blocks=blocks)
         return out[0, 0]
 
+    # w/w2 MUST be jit ARGUMENTS, not closure captures: captured arrays
+    # bake into the HLO as constants, and a 0.6 GB constant blows the
+    # remote-compile request on tunneled backends (HTTP 413).
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def loop(a, reps):
+    def loop(a, w, w2, reps):
         def body(carry, _):
-            out = call(carry)
+            out = call(carry, w, w2)
             # Fold a negligible function of the output back into A so scan
             # iterations cannot be reordered or deduplicated.
             return carry + (out * 1e-30).astype(carry.dtype), ()
@@ -302,11 +305,11 @@ def _time_blocks(a, w, blocks, reps: int, overhead: float,
         final, _ = jax.lax.scan(body, a, None, length=reps)
         return final[0, 0]
 
-    float(loop(a, reps))  # compile + warm
+    float(loop(a, w, w2, reps))  # compile + warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(loop(a, reps))
+        float(loop(a, w, w2, reps))
         best = min(best, time.perf_counter() - t0)
     return max(best - overhead, 1e-9) / reps
 

@@ -542,6 +542,212 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
         o_ref[0, head * groups : (head + 1) * groups, :] = oh
 
 
+def pick_s_block(s_alloc: int, sublane: int, row_bytes: int,
+                 min_dma: int = 64 << 10) -> int | None:
+    """Sublane-legal DIVISOR of s_alloc for panel blocking, or None.
+
+    The S-blocked kernel clamps dead panels' block index to the live
+    frontier, so its HBM reads scale with the ring OCCUPANCY instead of
+    the allocation (the one-shot kernel reads all s_alloc rows every
+    step — 2x the live span at a half-full ring, docs/PERF.md §7).
+    Non-dividing blocks are out: they read UNDEFINED VMEM under native
+    lowering (CLAUDE.md lore).  Prefers the smallest block whose K-panel
+    DMA stays >= min_dma (fine-grained clamping at full DMA efficiency);
+    row_bytes = kv_heads * qkv_dim * itemsize.  None = no useful split."""
+    cands = [bs for bs in range(sublane, s_alloc, sublane)
+             if s_alloc % bs == 0 and s_alloc // bs >= 2]
+    if not cands:
+        return None
+    good = [bs for bs in cands if bs * row_bytes >= min_dma]
+    return min(good) if good else max(cands)
+
+
+def _decode_fused_sblocked_kernel(
+        h: int, groups: int, seq_len: int, window: int, att_cap: float,
+        s_alloc: int, bs: int, w: int, quant: bool, pe: int | None,
+        qscale: float, has_kn: bool, has_qn: bool, *refs):
+    """S-BLOCKED fused write+attend: grid (B, s_alloc/bs) with an online
+    softmax across panels.  The K/V/scale panel block indices are CLAMPED
+    to the live frontier (min(j, live_panel)) in the index maps — Mosaic
+    skips the DMA when consecutive grid steps name the same block, so
+    beyond-frontier panels cost nothing and the kernel's HBM traffic is
+    proportional to min(pos+1, seq_len) instead of s_alloc.
+
+    Numerics: same masks/softcap/substitution as _decode_fused_kernel,
+    but the softmax normalizes ONCE at the end from the online (m, s)
+    state — output differs from the one-shot kernel only by f32
+    rounding order (the flash-attention class of drift; tolerance-
+    checked in tests + scripts/tpu_parity.py)."""
+    i = 0
+    lay_ref = refs[i]; i += 1
+    rows_ref = refs[i]; i += 1
+    pos_ref = refs[i]; i += 1
+    newsc_ref = None
+    if quant and pe is None:
+        newsc_ref = refs[i]; i += 1
+    q_ref = refs[i]; i += 1
+    new_ref = refs[i]; i += 1
+    its_ref = kn_ref = qn_ref = None
+    if pe is not None:
+        its_ref = refs[i]; i += 1
+        if has_kn:
+            kn_ref = refs[i]; i += 1
+        if has_qn:
+            qn_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    sck_ref = scv_ref = None
+    if quant:
+        sck_ref = refs[i]; i += 1
+        scv_ref = refs[i]; i += 1
+    kvtile_ref = refs[i]; i += 1
+    sctile_ref = None
+    if quant:
+        sctile_ref = refs[i]; i += 1
+    o_ref = refs[i]; i += 1
+    okv_ref = refs[i]; i += 1
+    osc_ref = refs[i] if quant else None
+    m_sc, s_sc_ref, er_sc, acc_sc = refs[-4:]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = s_alloc // bs
+    row = rows_ref[b]
+    pos_b = pos_ref[b]
+    hi = jnp.minimum(pos_b, seq_len - 1) // bs
+    live = j <= hi
+
+    # --- encode the new K/V row (cheap [H, D] work, recomputed per j so
+    # no cross-panel stash is needed) ---
+    scale_k = scale_v = None
+    if pe is not None:
+        kraw = new_ref[0, 0].astype(jnp.float32)
+        if has_kn:
+            kraw = _krms(kraw, kn_ref[...][0].astype(jnp.float32))
+        kraw = _pe_apply(kraw, pos_b, its_ref[...][0], 1.0, pe)
+        vraw = new_ref[0, 1].astype(jnp.float32)
+        if quant:
+            amax_k = jnp.max(jnp.abs(kraw), axis=-1, keepdims=True)
+            amax_v = jnp.max(jnp.abs(vraw), axis=-1, keepdims=True)
+            scale_k, scale_v = amax_k / 127.0, amax_v / 127.0
+            inv_k = jnp.where(scale_k > 0.0, 1.0 / scale_k, 0.0)
+            inv_v = jnp.where(scale_v > 0.0, 1.0 / scale_v, 0.0)
+            new_k = jnp.rint(kraw * inv_k).astype(jnp.int8)
+            new_v = jnp.rint(vraw * inv_v).astype(jnp.int8)
+        else:
+            new_k = kraw.astype(okv_ref.dtype)
+            new_v = vraw.astype(okv_ref.dtype)
+    else:
+        new_k, new_v = new_ref[0, 0], new_ref[0, 1]
+
+    # --- row write + state init, once per batch program ---
+    @pl.when(j == 0)
+    def _():
+        sub = row % w
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
+        new = jnp.stack([new_k, new_v])[None, None, :, :, None, :]
+        okv_ref[...] = jnp.where(r == sub, new.astype(okv_ref.dtype),
+                                 kvtile_ref[...])
+        if quant:
+            n_lanes = sctile_ref.shape[-1]
+            lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
+            hit = lane_sc == row
+            for c, sc in ((0, scale_k), (1, scale_v)):
+                for head in range(h):
+                    val = newsc_ref[b, c, head] if pe is None \
+                        else sc[head, 0]
+                    osc_ref[0, 0, c, head] = jnp.where(
+                        hit, val, sctile_ref[0, 0, c, head])
+        m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+        s_sc_ref[...] = jnp.zeros_like(s_sc_ref)
+        er_sc[...] = jnp.zeros_like(er_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    newest = pos_b
+    start = jnp.maximum(newest - (window - 1), 0)
+    cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
+        else jnp.bfloat16
+
+    @pl.when(live)
+    def _():
+        s_abs = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        key_abs = newest - ((newest % seq_len - s_abs) % seq_len)
+        ok = (key_abs >= start) & (key_abs <= newest) & (s_abs < seq_len)
+        at_row = s_abs == row
+        for head in range(h):
+            g0, g1 = head * groups, (head + 1) * groups
+            qh = q_ref[0, head].astype(jnp.float32)
+            if pe is not None:
+                if has_qn:
+                    qh = _krms(qh, qn_ref[...][0].astype(jnp.float32))
+                qh = _pe_apply(qh, pos_b, its_ref[...][0], qscale, pe)
+            qh = qh.astype(cdt)
+            kh = k_ref[0, 0, 0, head]  # [bs, D] (stale at row)
+            vh = v_ref[0, 0, 0, head]
+            nk = new_k[head].astype(cdt)
+            nv = new_v[head].astype(cdt)
+            scores = jax.lax.dot_general(
+                qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, bs]
+            new_score = jax.lax.dot_general(
+                qh, nk.reshape(1, -1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, 1]
+            if quant:
+                nsk = scale_k[head, 0] if pe is not None \
+                    else newsc_ref[b, 0, head]
+                sck = jnp.where(at_row, nsk,
+                                sck_ref[0, 0, 0, head])  # [1, bs]
+                scores = jnp.where(at_row, new_score, scores) * sck
+            else:
+                scores = jnp.where(at_row, new_score, scores)
+            if att_cap:
+                scores = att_cap * jnp.tanh(scores / att_cap)
+            scores = jnp.where(ok, scores, NEG_INF)
+
+            m_old = m_sc[g0:g1, :1]
+            bm = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_old, bm)
+            safe_m = jnp.where(jnp.isinf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isinf(m_old), 0.0,
+                              jnp.exp(m_old - safe_m))  # [G, 1]
+            e = jnp.exp(scores - safe_m)
+            e = jnp.where(ok, e, 0.0)
+            er = jnp.sum(jnp.where(at_row, e, 0.0), axis=-1, keepdims=True)
+            e_z = jnp.where(at_row, 0.0, e)
+            if quant:
+                scv = scv_ref[0, 0, 0, head]  # [1, bs] (stale at row: zeroed)
+                e_z = e_z * scv
+            part = jax.lax.dot_general(
+                e_z.astype(cdt), vh.astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, D]
+            # Full-lane broadcast stores (partial-lane writes relayout).
+            lanes = m_sc.shape[-1]
+            m_sc[g0:g1, :] = jnp.broadcast_to(m_new, (groups, lanes))
+            s_new = (alpha * s_sc_ref[g0:g1, :1]
+                     + jnp.sum(e, axis=-1, keepdims=True))
+            s_sc_ref[g0:g1, :] = jnp.broadcast_to(s_new, (groups, lanes))
+            er_new = alpha * er_sc[g0:g1, :1] + er
+            er_sc[g0:g1, :] = jnp.broadcast_to(er_new, (groups, lanes))
+            acc_sc[g0:g1, :] = alpha * acc_sc[g0:g1, :] + part
+
+    @pl.when(j == nj - 1)
+    def _():
+        s_tot = jnp.maximum(s_sc_ref[:, :1], 1e-30)
+        out = acc_sc[...] / s_tot
+        p_row = er_sc[:, :1] / s_tot  # [h*G, 1]
+        for head in range(h):
+            g0, g1 = head * groups, (head + 1) * groups
+            nv = new_v[head].astype(cdt)
+            p = p_row[g0:g1, :]
+            if quant:
+                nsv = scale_v[head, 0] if pe is not None \
+                    else newsc_ref[b, 1, head]
+                p = p * nsv
+            o_ref[0, g0:g1, :] = out[g0:g1, :] + (
+                p.astype(cdt).astype(jnp.float32)
+                * nv.reshape(1, -1).astype(jnp.float32))
+
+
 def _rope_specs(pe, rope_arrays):
     """(in_specs, inputs) for the optional in-kernel rope operands."""
     if pe is None:
@@ -557,59 +763,121 @@ def _rope_specs(pe, rope_arrays):
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "window", "att_cap", "pe",
-                     "qscale", "interpret"),
+                     "qscale", "interpret", "s_block"),
     donate_argnums=0,
 )
 def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx,
                          seq_len: int, window: int, att_cap: float,
                          pe: int | None = None, qscale: float = 1.0,
                          inv_ts=None, knorm=None, qnorm=None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         s_block: int | None = None):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
     w = _sublane(kv.dtype)
     lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
-    kernel = functools.partial(
-        _decode_fused_kernel, h, groups, seq_len, window, att_cap,
-        s_alloc, w, False, pe, qscale, knorm is not None,
-        qnorm is not None)
     rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
     rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
+
+    if s_block is not None:
+        assert s_alloc % s_block == 0, (s_alloc, s_block)
+        bs = s_block
+        nj = s_alloc // bs
+        grid = (b, nj)
+        sem = ("arbitrary", "arbitrary")
+
+        def jc(j, pos, i):
+            # Clamp dead panels to the live frontier: Mosaic skips the
+            # DMA when consecutive steps name the same block, so the
+            # panel reads scale with ring occupancy, not allocation.
+            hi = jnp.minimum(pos[i], seq_len - 1) // bs
+            return jnp.minimum(j, hi)
+
+        kernel = functools.partial(
+            _decode_fused_sblocked_kernel, h, groups, seq_len, window,
+            att_cap, s_alloc, bs, w, False, pe, qscale,
+            knorm is not None, qnorm is not None)
+        in_specs = [
+            pl.BlockSpec((1, h, groups, d),
+                         lambda i, j, lay, rows, pos: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, d),
+                         lambda i, j, lay, rows, pos: (i, 0, 0, 0)),
+        ] + rope_specs + [
+            pl.BlockSpec(
+                (1, 1, 1, h, bs, d),
+                lambda i, j, lay, rows, pos: (i, lay[0], 0, 0,
+                                              jc(j, pos, i), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, bs, d),
+                lambda i, j, lay, rows, pos: (i, lay[0], 1, 0,
+                                              jc(j, pos, i), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, j, lay, rows, pos: (i, lay[0], 0, 0,
+                                              rows[i] // w, 0),
+            ),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h * groups, d),
+                         lambda i, j, lay, rows, pos: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, j, lay, rows, pos: (i, lay[0], 0, 0,
+                                              rows[i] // w, 0),
+            ),
+        ]
+        scratch = [pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, d), jnp.float32)]
+    else:
+        grid = (b,)
+        sem = ("arbitrary",)
+        kernel = functools.partial(
+            _decode_fused_kernel, h, groups, seq_len, window, att_cap,
+            s_alloc, w, False, pe, qscale, knorm is not None,
+            qnorm is not None)
+        in_specs = [
+            pl.BlockSpec((1, h, groups, d),
+                         lambda i, lay, rows, pos: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, d),
+                         lambda i, lay, rows, pos: (i, 0, 0, 0)),
+        ] + rope_specs + [
+            pl.BlockSpec(
+                (1, 1, 1, h, s_alloc, d),
+                lambda i, lay, rows, pos: (i, lay[0], 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, s_alloc, d),
+                lambda i, lay, rows, pos: (i, lay[0], 1, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, lay, rows, pos: (i, lay[0], 0, 0,
+                                           rows[i] // w, 0),
+            ),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h * groups, d),
+                         lambda i, lay, rows, pos: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, lay, rows, pos: (i, lay[0], 0, 0,
+                                           rows[i] // w, 0),
+            ),
+        ]
+        scratch = []
     o, new_pool = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h, groups, d),
-                             lambda i, lay, rows, pos: (i, 0, 0, 0)),
-                pl.BlockSpec((1, 2, h, d),
-                             lambda i, lay, rows, pos: (i, 0, 0, 0)),
-            ] + rope_specs + [
-                pl.BlockSpec(
-                    (1, 1, 1, h, s_alloc, d),
-                    lambda i, lay, rows, pos: (i, lay[0], 0, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, h, s_alloc, d),
-                    lambda i, lay, rows, pos: (i, lay[0], 1, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 2, h, w, d),
-                    lambda i, lay, rows, pos: (i, lay[0], 0, 0,
-                                               rows[i] // w, 0),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, h * groups, d),
-                             lambda i, lay, rows, pos: (i, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, 2, h, w, d),
-                    lambda i, lay, rows, pos: (i, lay[0], 0, 0,
-                                               rows[i] // w, 0),
-                ),
-            ],
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
@@ -617,7 +885,7 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx,
         ],
         input_output_aliases={7 + len(rope_inputs): 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=sem,
         ),
         interpret=interpret,
     )(lay, rows, pos, q, newkv, *rope_inputs, kv, kv, kv)
@@ -627,77 +895,157 @@ def _decode_fused_pallas(kv, newkv, q, rows, pos, layer_idx,
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "window", "att_cap", "pe",
-                     "qscale", "interpret"),
+                     "qscale", "interpret", "s_block"),
     donate_argnums=(0, 1),
 )
 def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
                            layer_idx, seq_len: int, window: int,
                            att_cap: float, pe: int | None = None,
                            qscale: float = 1.0, inv_ts=None, knorm=None,
-                           qnorm=None, interpret: bool = False):
+                           qnorm=None, interpret: bool = False,
+                           s_block: int | None = None):
     b, n_layers, _, h, s_alloc, d = kv.shape
     groups = q.shape[2]
     w = _sublane(kv.dtype)
     s_sc = sc.shape[-1]
     lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
-    kernel = functools.partial(
-        _decode_fused_kernel, h, groups, seq_len, window, att_cap,
-        s_alloc, w, True, pe, qscale, knorm is not None, qnorm is not None)
     rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
     rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
     n_prefetch = 3 if pe is not None else 4
     scalar_inputs = (lay, rows, pos) if pe is not None \
         else (lay, rows, pos, newsc)
     nsp = n_prefetch
+    # pf = (lay, rows, pos[, newsc]); pos is pf[2] in BOTH prefetch
+    # layouts.
+
+    if s_block is not None:
+        assert s_alloc % s_block == 0, (s_alloc, s_block)
+        # The scale rows [1, s_sc] share the panel's lane blocking (s_sc
+        # == s_alloc for the pools this kernel serves).
+        assert s_sc == s_alloc, (s_sc, s_alloc)
+        bs = s_block
+        nj = s_alloc // bs
+        grid = (b, nj)
+        sem = ("arbitrary", "arbitrary")
+
+        def jc(j, pos, i):
+            hi = jnp.minimum(pos[i], seq_len - 1) // bs
+            return jnp.minimum(j, hi)
+
+        kernel = functools.partial(
+            _decode_fused_sblocked_kernel, h, groups, seq_len, window,
+            att_cap, s_alloc, bs, w, True, pe, qscale,
+            knorm is not None, qnorm is not None)
+        in_specs = [
+            pl.BlockSpec((1, h, groups, d),
+                         lambda i, j, *pf: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, d),
+                         lambda i, j, *pf: (i, 0, 0, 0)),
+        ] + rope_specs + [
+            pl.BlockSpec(
+                (1, 1, 1, h, bs, d),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0,
+                                   jc(j, pf[2], i), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, bs, d),
+                lambda i, j, *pf: (i, pf[0][0], 1, 0,
+                                   jc(j, pf[2], i), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, 1, bs),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0, 0,
+                                   jc(j, pf[2], i)),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, 1, bs),
+                lambda i, j, *pf: (i, pf[0][0], 1, 0, 0,
+                                   jc(j, pf[2], i)),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, 1, s_sc),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h * groups, d), lambda i, j, *pf: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, 1, s_sc),
+                lambda i, j, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+        ]
+        scratch = [pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, 128), jnp.float32),
+                   pltpu.VMEM((h * groups, d), jnp.float32)]
+    else:
+        grid = (b,)
+        sem = ("arbitrary",)
+        kernel = functools.partial(
+            _decode_fused_kernel, h, groups, seq_len, window, att_cap,
+            s_alloc, w, True, pe, qscale, knorm is not None,
+            qnorm is not None)
+        in_specs = [
+            pl.BlockSpec((1, h, groups, d),
+                         lambda i, *pf: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, d),
+                         lambda i, *pf: (i, 0, 0, 0)),
+        ] + rope_specs + [
+            pl.BlockSpec(
+                (1, 1, 1, h, s_alloc, d),
+                lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, s_alloc, d),
+                lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, 1, s_sc),
+                lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, h, 1, s_sc),
+                lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, 1, s_sc),
+                lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h * groups, d), lambda i, *pf: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, h, w, d),
+                lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, h, 1, s_sc),
+                lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
+            ),
+        ]
+        scratch = []
 
     o, new_pool, new_sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsp,
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h, groups, d),
-                             lambda i, *pf: (i, 0, 0, 0)),
-                pl.BlockSpec((1, 2, h, d),
-                             lambda i, *pf: (i, 0, 0, 0)),
-            ] + rope_specs + [
-                pl.BlockSpec(
-                    (1, 1, 1, h, s_alloc, d),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, h, s_alloc, d),
-                    lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, h, 1, s_sc),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, h, 1, s_sc),
-                    lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 2, h, w, d),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 2, h, 1, s_sc),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, h * groups, d), lambda i, *pf: (i, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, 2, h, w, d),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 2, h, 1, s_sc),
-                    lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0),
-                ),
-            ],
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, h * groups, d), jnp.float32),
@@ -709,7 +1057,7 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
             nsp + 2 + len(rope_inputs) + 5: 2,
         },
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=sem,
         ),
         interpret=interpret,
     )(*scalar_inputs, q, newkv, *rope_inputs, kv, kv, sc, sc, kv, sc)
@@ -748,7 +1096,8 @@ _FUSED_PROBED: dict = {}
 
 
 def _probe_fused_compile(cache, layer_idx: int, q, rope,
-                         window: int, att_cap: float) -> bool:
+                         window: int, att_cap: float,
+                         s_block: int | None = None) -> bool:
     """One-time AOT compile check of the fused write+attend kernel for
     this (pool, q, rope, window, att_cap) signature; False -> composed
     fallback.  window/att_cap are static kernel parameters (they change
@@ -764,7 +1113,7 @@ def _probe_fused_compile(cache, layer_idx: int, q, rope,
     key = (cache.quantized, pool.shape, str(pool.dtype), q.shape, ring,
            window, att_cap, pe, qscale,
            rope is not None and rope.key_norm is not None,
-           rope is not None and rope.query_norm is not None)
+           rope is not None and rope.query_norm is not None, s_block)
     hit = _FUSED_PROBED.get(key)
     if hit is not None:
         return hit
@@ -791,7 +1140,7 @@ def _probe_fused_compile(cache, layer_idx: int, q, rope,
                 _sds(pool), _sds(sc), newkv, newsc, qk, rows, pos,
                 jax.ShapeDtypeStruct((), jnp.int32), ring, window,
                 att_cap, pe=pe, qscale=qscale,
-                interpret=False, **rkw).compile()
+                interpret=False, s_block=s_block, **rkw).compile()
         else:
             newkv = jax.ShapeDtypeStruct(
                 (b, 2, kv_heads, d),
@@ -800,7 +1149,7 @@ def _probe_fused_compile(cache, layer_idx: int, q, rope,
                 _sds(pool), newkv, qk, rows, pos,
                 jax.ShapeDtypeStruct((), jnp.int32), ring, window,
                 att_cap, pe=pe, qscale=qscale, interpret=False,
-                **rkw).compile()
+                s_block=s_block, **rkw).compile()
         ok = True
     except Exception:  # noqa: BLE001 — any compile failure means fallback
         ok = False
@@ -832,6 +1181,16 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         use_pallas = _use_pallas() and q.shape[-1] % 128 == 0 \
             and pool.shape[-1] % 128 == 0 \
             and os.environ.get("GEMMA_FUSED_DECODE", "1") != "0"
+    # S-blocked panels with live-frontier index clamping: HBM reads scale
+    # with ring occupancy instead of allocation (2x saving at a half-full
+    # ring).  GEMMA_SBLOCK_DECODE=1 opts in (hardware A/B; output drifts
+    # from the one-shot kernel only by online-softmax rounding order).
+    s_block = None
+    if use_pallas and os.environ.get("GEMMA_SBLOCK_DECODE", "0") == "1":
+        row_bytes = (pool.shape[3] * pool.shape[5]
+                     * jnp.dtype(pool.dtype).itemsize)
+        s_block = pick_s_block(pool.shape[4], _sublane(pool.dtype),
+                               row_bytes)
     if use_pallas and not interpret and _use_pallas():
         # The in-jit call cannot catch a Mosaic compile error (it would
         # fail the ENCLOSING executable with no fallback) — AOT-probe the
@@ -839,11 +1198,21 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         # hardware-proven composed pair (same pattern as
         # ops/matmul.py:_probe_gated_compile).
         use_pallas = _probe_fused_compile(cache, layer_idx, q, rope,
-                                          window, att_cap)
+                                          window, att_cap,
+                                          s_block=s_block)
+        if not use_pallas and s_block is not None:
+            # The blocked variant may fail where the one-shot compiles.
+            s_block = None
+            use_pallas = _probe_fused_compile(cache, layer_idx, q, rope,
+                                              window, att_cap)
     if use_pallas:
         _, _, _, kvh_, s_alloc_, d_ = pool.shape
         itemsize = jnp.dtype(pool.dtype).itemsize
-        panel = kvh_ * s_alloc_ * d_ * 2 * itemsize * 2
+        # S-blocked panels only hold bs rows in VMEM, so the blocked
+        # variant keeps the fused path alive far past the one-shot
+        # panel budget (where attention otherwise exits to flash).
+        span = s_block if s_block is not None else s_alloc_
+        panel = kvh_ * span * d_ * 2 * itemsize * 2
         if panel > _PANEL_VMEM_BUDGET:
             use_pallas = False
     if not use_pallas:
@@ -887,13 +1256,14 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
         out, new_pool, new_sc = _decode_fused_q_pallas(
             pool, cache.pool_scale(layer_idx), codes, scale, qk, rows,
             pos, idx, ring, window, float(att_cap), pe=pe, qscale=qscale,
-            interpret=interpret, **rkw)
+            interpret=interpret, s_block=s_block, **rkw)
         cache = cache._replace_pool(layer_idx, new_pool, new_sc)
     else:
         nk = newkv if rope is not None else newkv.astype(pool.dtype)
         out, new_pool = _decode_fused_pallas(
             pool, nk, qk, rows, pos, idx, ring, window, float(att_cap),
-            pe=pe, qscale=qscale, interpret=interpret, **rkw)
+            pe=pe, qscale=qscale, interpret=interpret, s_block=s_block,
+            **rkw)
         cache = cache._replace_pool(layer_idx, new_pool)
     return out.reshape(b, 1, heads, d), cache
 

@@ -1240,13 +1240,17 @@ def _top1_kernel(kind: str, n_j_steps: int, n_k_steps: int, scale: float,
     write + softcap + argmax HBM round trips (~3 kernels and ~3x[M,N]x4
     bytes per decode step at vocab=256K).
 
-    need_prob=False drops the softcap tanh + exp sum entirely (the token
-    is bit-identical: softcap is monotonic, so the raw argmax IS the
-    capped argmax) and returns prob = 1.0 and the RAW row max.  The
-    tanh+exp over the full [M, N] is pure VPU work Mosaic cannot overlap
-    with the MXU dots (CLAUDE.md lore), so greedy serving paths that
-    never surface the prob skip ~2 transcendentals/element over
-    vocab=256K rows (VERDICT r4 #2's top1-head 425 vs 808 GB/s-eff gap).
+    need_prob=False drops the softcap tanh + exp sum entirely and argmaxes
+    the RAW logits (prob = 1.0, stats max = RAW row max).  Over the reals
+    this is the SAME winner (softcap is monotonic); in f32 the two paths
+    can differ only where tanh saturation collapses distinct raw logits
+    into exact capped ties (|z| >~ 1.5*cap — the capped path then picks
+    the lowest tied index, an f32-rounding artifact; the raw path keeps
+    the exact-real winner).  The tanh+exp over the full [M, N] is pure
+    VPU work Mosaic cannot overlap with the MXU dots (CLAUDE.md lore),
+    so greedy serving paths that never surface the prob skip ~2
+    transcendentals/element over vocab=256K rows (VERDICT r4 #2's
+    top1-head 425 vs 808 GB/s-eff gap).
     """
     j, k_step = pl.program_id(1), pl.program_id(2)
     nb = _n_b_refs(kind)
@@ -1657,11 +1661,14 @@ def matmul_top1(
     1/prob (the row sum-exp at that max) this is the full online-softmax
     state, letting vocab-sharded TP merge per-shard heads with O(M)
     collectives (parallel/tp.py) instead of all-gathering logits.
-    need_prob=False: the returned token is bit-identical (softcap is
-    monotonic) but prob is a constant 1.0 and the stats max is the RAW
-    row max — drops the in-kernel tanh+exp over [M, N] (pure VPU work
-    serial with the MXU), for greedy paths whose callers never surface
-    the prob (e.g. chunked decode without a stream callback)."""
+    need_prob=False: the returned token is the RAW-logits argmax — the
+    exact-real greedy winner (softcap is monotonic); it differs from the
+    capped-f32 argmax only where tanh saturation collapses distinct
+    logits into exact ties (|z| >~ 1.5*cap), where the capped winner is
+    itself an index-order rounding artifact.  prob is a constant 1.0 and
+    the stats max is the RAW row max — drops the in-kernel tanh+exp over
+    [M, N] (pure VPU work serial with the MXU), for greedy paths whose
+    callers never surface the prob."""
     if interpret is None:
         interpret = _interpret_default()
     if use_pallas is None:

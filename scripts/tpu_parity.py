@@ -168,6 +168,26 @@ def main() -> None:
                                   want_prob, 1e-3, 1e-4)
         g.run(f"matmul_top1[{kind}]", sec)
 
+    # --- need_prob=False fast path: tokens == RAW-logits argmax (the
+    # exact-real greedy winner; the capped path differs only on f32
+    # tanh-saturation ties), prob constant 1.0 (VERDICT r4 #2 lever) ---
+    def sec_noprob():
+        w = synth_quant(rng, 1000, k, "i8")
+        anorm = rms_norm(af, nw).astype(jnp.bfloat16)
+        raw = matmul(anorm, w, blocks=(16, 256, 2304),
+                     out_dtype=jnp.float32)
+        want_tok = jnp.argmax(raw, axis=-1)
+        got_tok, got_prob = matmul_top1(af, w, final_cap=30.0,
+                                        prologue_norm=nw,
+                                        blocks=(16, 256, 2304),
+                                        need_prob=False)
+        ok = bool((np.asarray(got_tok) == np.asarray(want_tok)).all())
+        ok &= bool((np.asarray(got_prob) == 1.0).all())
+        print(f"{'PASS' if ok else 'FAIL'}  "
+              f"{'matmul_top1[i8] need_prob=False':<42}")
+        return ok
+    g.run("matmul_top1[i8] need_prob=False", sec_noprob)
+
     # --- fused top-k logits head (indices exact incl. tie order) ---
     from gemma_tpu.ops.matmul import matmul_topk
 

@@ -179,3 +179,106 @@ def test_fused_rope_in_kernel_matches_composed(kind, post_qk, with_norms):
     if kind == "i8":
         np.testing.assert_allclose(np.asarray(cache_f.kv_scale),
                                    np.asarray(cache_c.kv_scale), rtol=1e-6)
+
+
+class _BigSeq:
+    """SEQ=96 config scope: big enough for pick_s_block to find a split."""
+
+
+@pytest.mark.parametrize("kind", ["bf16", "i8"])
+@pytest.mark.parametrize("n_pos,window", [(30, 96), (100, 96), (100, 24)])
+def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
+    """GEMMA_SBLOCK_DECODE=1: the S-blocked live-frontier kernel matches
+    the one-shot fused kernel within online-softmax reorder drift, and
+    the updated pools are IDENTICAL (the row write is shared logic) —
+    pre-wrap (frontier clamp active), post-wrap (all panels live), and
+    windowed."""
+    from gemma_tpu.ops.decode_attention import _sublane, pick_s_block
+
+    seq = 96
+    rng = np.random.default_rng(n_pos + window)
+    cache = KVCache.create(CONFIG, B, seq, kind=kind)
+    kpre = jnp.asarray(
+        rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    vpre = jnp.asarray(
+        rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    pos_pre = jnp.tile(jnp.arange(n_pos, dtype=jnp.int32), (B, 1))
+    cache = cache.update(0, pos_pre, kpre, vpre)
+    # The split must actually engage for this pool.
+    pool = cache.pool(0)[0]
+    row_bytes = pool.shape[3] * pool.shape[5] * jnp.dtype(pool.dtype).itemsize
+    assert pick_s_block(pool.shape[4], _sublane(pool.dtype),
+                        row_bytes) is not None
+
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+
+    want, cache_c = decode_attention_write(
+        cache.copy(), 0, q, positions, k, v, window, att_cap=50.0,
+        use_pallas=True, interpret=True)
+    monkeypatch.setenv("GEMMA_SBLOCK_DECODE", "1")
+    got, cache_s = decode_attention_write(
+        cache.copy(), 0, q, positions, k, v, window, att_cap=50.0,
+        use_pallas=True, interpret=True)
+
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    err = np.abs(g - w)
+    # Drift provenance: the one-shot kernel rounds NORMALIZED probs to
+    # bf16 before the V dot; the online kernel rounds the unnormalized
+    # exp weights (different magnitudes -> different bf16 ulps, 2^-8 =
+    # 3.9e-3 relative), plus f32 reduction reorder.
+    bound = 5e-3 * np.abs(w).max() + 5e-3 * np.abs(w)
+    assert (err <= bound).all(), float(
+        (err / (np.abs(w).max() + 1e-9)).max())
+    np.testing.assert_array_equal(np.asarray(cache_s.pool(0)[0]),
+                                  np.asarray(cache_c.pool(0)[0]))
+    if kind == "i8":
+        np.testing.assert_array_equal(
+            np.asarray(cache_s.pool_scale(0)),
+            np.asarray(cache_c.pool_scale(0)))
+
+
+def test_sblocked_rope_and_valid_mask(monkeypatch):
+    """S-blocked + in-kernel RoPE + a valid-masked slot: outputs within
+    drift bound of the one-shot fused kernel; masked slot writes nothing
+    live (garbage row only, identical pools)."""
+    from gemma_tpu.ops.decode_attention import RopeSpec
+    from gemma_tpu.ops.ops import create_inv_timescale
+
+    seq, n_pos = 96, 50
+    rng = np.random.default_rng(7)
+    cache = KVCache.create(CONFIG, B, seq, kind="i8")
+    kpre = jnp.asarray(
+        rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    vpre = jnp.asarray(
+        rng.normal(0, 0.5, (B, n_pos, KVH, D)).astype(np.float32))
+    pos_pre = jnp.tile(jnp.arange(n_pos, dtype=jnp.int32), (B, 1))
+    cache = cache.update(0, pos_pre, kpre, vpre)
+
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+    valid = jnp.asarray([[True], [False]])
+    rope = RopeSpec(jnp.asarray(create_inv_timescale(D, False)), 0, 0.0625)
+
+    want, cache_c = decode_attention_write(
+        cache.copy(), 0, q, positions, k, v, seq, att_cap=50.0,
+        valid=valid, rope=rope, use_pallas=True, interpret=True)
+    monkeypatch.setenv("GEMMA_SBLOCK_DECODE", "1")
+    got, cache_s = decode_attention_write(
+        cache.copy(), 0, q, positions, k, v, seq, att_cap=50.0,
+        valid=valid, rope=rope, use_pallas=True, interpret=True)
+
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    err = np.abs(g - w)
+    bound = 5e-3 * np.abs(w).max() + 5e-3 * np.abs(w)  # see bound above
+    assert (err <= bound).all()
+    np.testing.assert_array_equal(np.asarray(cache_s.pool(0)[0]),
+                                  np.asarray(cache_c.pool(0)[0]))
+    np.testing.assert_array_equal(np.asarray(cache_s.pool_scale(0)),
+                                  np.asarray(cache_c.pool_scale(0)))

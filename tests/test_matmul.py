@@ -492,11 +492,14 @@ def test_matmul_top1_allowed_mask():
 
 @pytest.mark.parametrize("kind", ["bf16", "sfp", "i8"])
 def test_matmul_top1_need_prob_false(kind):
-    """need_prob=False: tokens BIT-identical to the full head (softcap is
-    monotonic, so the raw argmax is the capped argmax), prob constant 1.0
-    — on both the fused kernel and the composed fallback, with and
+    """need_prob=False: tokens == the RAW-logits argmax (the exact-real
+    greedy winner; softcap is monotonic — the capped path can differ
+    ONLY where f32 tanh saturation collapses distinct logits into exact
+    ties, caught on hardware by scripts/tpu_parity.py), prob constant
+    1.0 — on both the fused kernel and the composed fallback, with and
     without an allowed mask."""
     from gemma_tpu.ops.matmul import matmul_top1
+    from gemma_tpu.ops.sampling import NEG_INF
 
     rng = np.random.default_rng(41)
     m, k, n = 8, 512, 1000
@@ -504,9 +507,10 @@ def test_matmul_top1_need_prob_false(kind):
     a = a.astype(jnp.bfloat16)
     allowed = np.zeros((n,), bool)
     allowed[::5] = True
+    raw = matmul(a, w, blocks=(8, 256, 512), out_dtype=jnp.float32)
     for mask in (None, jnp.asarray(allowed)):
-        want_tok, _ = matmul_top1(a, w, final_cap=30.0, allowed_mask=mask,
-                                  blocks=(8, 256, 512))
+        masked = raw if mask is None else jnp.where(mask, raw, NEG_INF)
+        want_tok = jnp.argmax(masked, axis=-1)
         got_tok, got_prob = matmul_top1(a, w, final_cap=30.0,
                                         allowed_mask=mask,
                                         blocks=(8, 256, 512),

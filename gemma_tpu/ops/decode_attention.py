@@ -543,18 +543,24 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
 
 
 def pick_s_block(s_alloc: int, sublane: int, row_bytes: int,
-                 min_dma: int = 64 << 10) -> int | None:
-    """Sublane-legal DIVISOR of s_alloc for panel blocking, or None.
+                 min_dma: int = 64 << 10,
+                 lane_multiple: int | None = None) -> int | None:
+    """Tile-legal DIVISOR of s_alloc for panel blocking, or None.
 
     The S-blocked kernel clamps dead panels' block index to the live
     frontier, so its HBM reads scale with the ring OCCUPANCY instead of
     the allocation (the one-shot kernel reads all s_alloc rows every
     step — 2x the live span at a half-full ring, docs/PERF.md §7).
     Non-dividing blocks are out: they read UNDEFINED VMEM under native
-    lowering (CLAUDE.md lore).  Prefers the smallest block whose K-panel
-    DMA stays >= min_dma (fine-grained clamping at full DMA efficiency);
-    row_bytes = kv_heads * qkv_dim * itemsize.  None = no useful split."""
-    cands = [bs for bs in range(sublane, s_alloc, sublane)
+    lowering (CLAUDE.md lore).  For QUANTIZED pools pass
+    lane_multiple=128: the [1, s_alloc] scale rows block S on the LANE
+    dim, where Mosaic requires 128-multiples (KVCache pads s_alloc to
+    128 rows so such divisors exist).  Prefers the smallest block whose
+    K-panel DMA stays >= min_dma (fine-grained clamping at full DMA
+    efficiency); row_bytes = kv_heads * qkv_dim * itemsize.  None = no
+    useful split."""
+    step = lane_multiple or sublane
+    cands = [bs for bs in range(step, s_alloc, step)
              if s_alloc % bs == 0 and s_alloc // bs >= 2]
     if not cands:
         return None
@@ -1189,8 +1195,9 @@ def decode_attention_write(cache, layer_idx: int, q, positions, k, v,
     if use_pallas and os.environ.get("GEMMA_SBLOCK_DECODE", "0") == "1":
         row_bytes = (pool.shape[3] * pool.shape[5]
                      * jnp.dtype(pool.dtype).itemsize)
-        s_block = pick_s_block(pool.shape[4], _sublane(pool.dtype),
-                               row_bytes)
+        s_block = pick_s_block(
+            pool.shape[4], _sublane(pool.dtype), row_bytes,
+            lane_multiple=128 if cache.quantized else None)
     if use_pallas and not interpret and _use_pallas():
         # The in-jit call cannot catch a Mosaic compile error (it would
         # fail the ENCLOSING executable with no fallback) — AOT-probe the

@@ -8,6 +8,9 @@
 #             wire format.
 # ref_blob:   writes/reads .sbs blob containers via the reference's
 #             BlobWriter/BlobReader (V1+V2 layout byte-parity).
+# ref_ops:    drives the reference's CE-load-bearing elementwise ops
+#             (Gelu/RMSNorm/Rope/Softmax/LogitsSoftCap) from ops-inl.h,
+#             with a lane-wise-libm math shim (documented divergence).
 set -eu
 cd "$(dirname "$0")"
 REF=${REF:-/root/reference}
@@ -27,4 +30,8 @@ g++ $CXXFLAGS -DGEMMA_DISABLE_TOPOLOGY=1 -ffunction-sections -fdata-sections \
     -I shim -I "$HWY" -I "$REF" \
     ref_blob.cc "$REF/io/blob_store.cc" "$REF/io/io.cc" \
     shim/hwy_alloc_shim.cc -Wl,--gc-sections -o ref_blob
-echo "built $(pwd)/{ref_codec,ref_fields,ref_blob}"
+g++ $CXXFLAGS -DGEMMA_DISABLE_TOPOLOGY=1 -ffunction-sections -fdata-sections \
+    -I shim -I "$HWY" -I "$REF" \
+    ref_ops.cc "$REF/io/fields.cc" "$REF/gemma/tensor_info.cc" \
+    shim/hwy_alloc_shim.cc -Wl,--gc-sections -o ref_ops
+echo "built $(pwd)/{ref_codec,ref_fields,ref_blob,ref_ops}"

@@ -4,8 +4,8 @@
 // floats whose low mantissa bits carry UNIQUE original indices, so all keys
 // are distinct and every comparison sort produces the identical permutation
 // VQSortStatic would — std::sort is behavior-equivalent for this use.
-#ifndef REF_PARITY_VQSORT_SHIM_H_
-#define REF_PARITY_VQSORT_SHIM_H_
+#ifndef REF_PARITY_VQSORT_INL_SHIM_H_
+#define REF_PARITY_VQSORT_INL_SHIM_H_
 
 #include <stddef.h>
 
@@ -13,12 +13,9 @@
 #include <functional>
 
 #include "hwy/highway.h"
+#include "hwy/contrib/sort/order.h"
 
 namespace hwy {
-// Order tags normally supplied by hwy/contrib/sort/order.h.
-struct SortAscending {};
-struct SortDescending {};
-
 namespace HWY_NAMESPACE {
 
 template <typename T>
@@ -34,4 +31,4 @@ void VQSortStatic(T* HWY_RESTRICT keys, size_t num, hwy::SortDescending) {
 }  // namespace HWY_NAMESPACE
 }  // namespace hwy
 
-#endif  // REF_PARITY_VQSORT_SHIM_H_
+#endif  // REF_PARITY_VQSORT_INL_SHIM_H_

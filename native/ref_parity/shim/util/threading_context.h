@@ -15,6 +15,14 @@
 #include <stddef.h>
 #include <stdint.h>
 
+#include "hwy/contrib/thread_pool/thread_pool.h"
+
+// The REAL zones.h (from the reference tree): the full Zones/Callers
+// enums + ProfilerZones/PoolCallers — header-only against the profiler
+// and thread_pool shims; their ctors live in zones.cc, which is never
+// linked and never odr-used here.
+#include "util/zones.h"
+
 namespace gcpp {
 
 enum class ParallelismStrategy : uint8_t {
@@ -25,14 +33,24 @@ enum class ParallelismStrategy : uint8_t {
   kHierarchical,
 };
 
-// Only the enumerators referenced by the TUs compiled against this shim.
-enum class Callers : uint8_t {
-  kBlobWriter,
-  kBlobReader,
+// Serial stand-ins for the pool plumbing header-only reference code
+// touches (compress-inl.h:540 uses ctx.pools.Pool() + pool_callers).
+struct ShimPools {
+  hwy::ThreadPool& Pool() { return pool_; }
+  hwy::ThreadPool& Cluster(size_t) { return pool_; }
+  hwy::ThreadPool& AllClusters() { return pool_; }
+  size_t MaxWorkersPerCluster() const { return 1; }
+  hwy::ThreadPool pool_;
+};
+
+struct ShimPoolCallers {
+  hwy::pool::Caller Get(Callers) const { return 0; }
 };
 
 struct ThreadingContext {
   size_t Worker(size_t) const { return 0; }
+  ShimPools pools;
+  ShimPoolCallers pool_callers;
 };
 
 // Serial ParallelFor: same tasks, same worker index, one at a time.

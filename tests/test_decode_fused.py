@@ -186,7 +186,7 @@ class _BigSeq:
 
 
 @pytest.mark.parametrize("kind", ["bf16", "i8"])
-@pytest.mark.parametrize("n_pos,window", [(30, 96), (100, 96), (100, 24)])
+@pytest.mark.parametrize("n_pos,window", [(60, 256), (300, 256), (300, 64)])
 def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
     """GEMMA_SBLOCK_DECODE=1: the S-blocked live-frontier kernel matches
     the one-shot fused kernel within online-softmax reorder drift, and
@@ -195,7 +195,7 @@ def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
     windowed."""
     from gemma_tpu.ops.decode_attention import _sublane, pick_s_block
 
-    seq = 96
+    seq = 256
     rng = np.random.default_rng(n_pos + window)
     cache = KVCache.create(CONFIG, B, seq, kind=kind)
     kpre = jnp.asarray(
@@ -207,8 +207,9 @@ def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
     # The split must actually engage for this pool.
     pool = cache.pool(0)[0]
     row_bytes = pool.shape[3] * pool.shape[5] * jnp.dtype(pool.dtype).itemsize
-    assert pick_s_block(pool.shape[4], _sublane(pool.dtype),
-                        row_bytes) is not None
+    assert pick_s_block(
+        pool.shape[4], _sublane(pool.dtype), row_bytes,
+        lane_multiple=128 if cache.quantized else None) is not None
 
     q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
@@ -248,7 +249,7 @@ def test_sblocked_rope_and_valid_mask(monkeypatch):
     from gemma_tpu.ops.decode_attention import RopeSpec
     from gemma_tpu.ops.ops import create_inv_timescale
 
-    seq, n_pos = 96, 50
+    seq, n_pos = 256, 120
     rng = np.random.default_rng(7)
     cache = KVCache.create(CONFIG, B, seq, kind="i8")
     kpre = jnp.asarray(

@@ -49,19 +49,24 @@ def harness():
     codec = HARNESS_DIR / "ref_codec"
     fields = HARNESS_DIR / "ref_fields"
     blob = HARNESS_DIR / "ref_blob"
+    ops = HARNESS_DIR / "ref_ops"
     srcs = [HARNESS_DIR / "ref_codec.cc", HARNESS_DIR / "ref_fields.cc",
-            HARNESS_DIR / "ref_blob.cc", HARNESS_DIR / "build.sh"]
+            HARNESS_DIR / "ref_blob.cc", HARNESS_DIR / "ref_ops.cc",
+            HARNESS_DIR / "build.sh"]
     newest_src = max(p.stat().st_mtime for p in srcs)
     if (not codec.exists() or not fields.exists() or not blob.exists()
+            or not ops.exists()
             or codec.stat().st_mtime < newest_src
-            or blob.stat().st_mtime < newest_src):
+            or blob.stat().st_mtime < newest_src
+            or ops.stat().st_mtime < newest_src):
         r = subprocess.run(
             ["bash", str(HARNESS_DIR / "build.sh")], capture_output=True,
             text=True, env={"PATH": "/usr/bin:/bin", "REF": str(REF),
                             "HWY": str(HWY)})
         if r.returncode != 0:
             pytest.skip(f"harness build failed: {r.stderr[-500:]}")
-    return {"codec": str(codec), "fields": str(fields), "blob": str(blob)}
+    return {"codec": str(codec), "fields": str(fields), "blob": str(blob),
+            "ops": str(ops)}
 
 
 def _run(binary: str, args: list[str], stdin: bytes) -> bytes:
@@ -283,3 +288,92 @@ def test_blob_container_read_parity(harness, tmp_path):
     with BlobReader(str(ref_path)) as r:
         for key, data in blobs:
             assert np.array_equal(r.read(key), data), key
+
+
+def _scale_err(ref, ours):
+    ref = np.asarray(ref, np.float32)
+    ours = np.asarray(ours, np.float32)
+    return float(np.abs(ref - ours).max() / (np.abs(ref).max() + 1e-12))
+
+
+def test_elementwise_ops_parity(harness):
+    """The CE-load-bearing elementwise formulas vs the REFERENCE's own
+    ops-inl.h code (VERDICT r4 #4): RMSNorm ((1+w) FMA, 1e-6 eps inside
+    the rsqrt), Rope (split-halves rotation, mul-first ordering),
+    Softmax (max-subtract, exact f32 sum, single reciprocal), Gelu
+    (0.03567740813636141 / 0.797884560804236 constants), LogitsSoftCap
+    (cap*tanh(x/cap)).
+
+    Tolerances: rmsnorm/rope/softmax are transcendental-free (sqrt/
+    sin/cos agree to ulps) -> 1e-5 of scale; gelu/softcap go through the
+    harness's lane-wise-libm tanh (upstream Highway uses a polynomial;
+    see shim/hwy/contrib/math/math-inl.h) -> 5e-4 of scale, which still
+    pins every constant and the operation order (a wrong Gelu
+    coefficient shifts outputs by ~1e-2 of scale)."""
+    import jax.numpy as jnp
+
+    from gemma_tpu.ops.ops import (create_inv_timescale, gelu, half_rope,
+                                   rms_norm, rope, soft_cap, softmax)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 2, 1000).astype(np.float32)
+
+    ref = np.frombuffer(_run(harness["ops"], ["gelu", "1000"], x.tobytes()),
+                        np.float32)
+    assert _scale_err(ref, gelu(jnp.asarray(x))) < 5e-4
+
+    w = rng.normal(0, 0.1, 1000).astype(np.float32)
+    ref = np.frombuffer(_run(harness["ops"], ["rmsnorm", "1000"],
+                             x.tobytes() + w.tobytes()), np.float32)
+    assert _scale_err(ref, rms_norm(jnp.asarray(x), jnp.asarray(w))) < 1e-5
+
+    ref = np.frombuffer(_run(harness["ops"], ["softcap", "1000", "30.0"],
+                             x.tobytes()), np.float32)
+    assert _scale_err(ref, soft_cap(30.0, jnp.asarray(x))) < 5e-4
+
+    logits = (rng.normal(0, 4, 512)).astype(np.float32)
+    ref = np.frombuffer(_run(harness["ops"], ["softmax", "512"],
+                             logits.tobytes()), np.float32)
+    ours = np.asarray(softmax(jnp.asarray(logits)))
+    assert np.abs(ref - ours).max() < 1e-6
+    assert abs(float(ref.sum()) - 1.0) < 1e-5
+
+    # Rope: full rotation (the reference's Rope == our rope over dim),
+    # and the HALF_ROPE composition (rotate the first half, then scale
+    # everything — gemma/attention.cc:89-95) via RopeAndMulBy on the
+    # first half.
+    d, pos = 256, 17
+    xr = rng.normal(0, 1, d).astype(np.float32)
+    its = np.asarray(create_inv_timescale(d, False),
+                     np.float32).reshape(-1)
+    ref = np.frombuffer(
+        _run(harness["ops"], ["rope", str(d), str(pos)],
+             xr.tobytes() + its.tobytes()), np.float32)
+    ours = np.asarray(rope(jnp.asarray(xr).reshape(1, 1, 1, d),
+                           jnp.full((1, 1, 1), pos, jnp.int32),
+                           jnp.asarray(its), 1.0)).reshape(-1)
+    assert _scale_err(ref, ours) < 1e-5
+
+    # RopeAndMulBy with a query scale (the q path).
+    mul = 0.0625
+    ref = np.frombuffer(
+        _run(harness["ops"], ["ropemul", str(d), str(pos), str(mul)],
+             xr.tobytes() + its.tobytes()), np.float32)
+    ours = np.asarray(rope(jnp.asarray(xr).reshape(1, 1, 1, d),
+                           jnp.full((1, 1, 1), pos, jnp.int32),
+                           jnp.asarray(its), mul)).reshape(-1)
+    assert _scale_err(ref, ours) < 1e-5
+
+    # HALF_ROPE: the reference rotates dims [0, d/2) at mul, leaving the
+    # top half scaled only; compose its Rope over the first half + manual
+    # scale and compare against our half_rope.
+    its_h = np.asarray(create_inv_timescale(d, True),
+                       np.float32).reshape(-1)
+    ref_half = np.frombuffer(
+        _run(harness["ops"], ["rope", str(d // 2), str(pos)],
+             xr[: d // 2].tobytes() + its_h.tobytes()), np.float32)
+    ref_full = np.concatenate([ref_half, xr[d // 2:]])
+    ours = np.asarray(half_rope(jnp.asarray(xr).reshape(1, 1, 1, d),
+                                jnp.full((1, 1, 1), pos, jnp.int32),
+                                jnp.asarray(its_h), 1.0)).reshape(-1)
+    assert _scale_err(ref_full, ours) < 1e-5

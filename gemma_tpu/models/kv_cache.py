@@ -150,15 +150,14 @@ class KVCache:
         use_local = (split_local and local_windows
                      and max(local_windows) + local_slack < seq_len)
 
-        # Ring + 1 garbage row, padded to 128 rows: covers the dtype's
-        # sublane tile (16 for bf16, 32 for i8 — the in-place row-write
-        # kernel's tiles never cross the array bound) AND gives the
-        # S-blocked decode-attention kernel lane-legal 128-multiple panel
-        # splits for the quantized pools' [1, s_alloc] scale rows
-        # (ops/decode_attention.py:pick_s_block; Mosaic lane blocks must
-        # be 128-multiples).  Costs <= 127 extra rows per pool (~9% at
-        # seq 1024) and buys occupancy-proportional attention reads.
-        tile = 128
+        # Ring + 1 garbage row, padded to the dtype's sublane tile (16 for
+        # bf16, 32 for i8) so the in-place row-write kernel's tiles never
+        # cross the array bound.  (A 128-row pad would give the opt-in
+        # S-blocked decode kernel lane-legal splits on quantized pools,
+        # but that kernel measured 15x SLOWER than the one-shot panel on
+        # v5e — docs/PERF.md — and the extra rows cost ~2% decode, so the
+        # tight pad stays.)
+        tile = 32 if quant else 16
 
         def alloc(n, ring):
             return jnp.zeros(

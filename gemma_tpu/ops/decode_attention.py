@@ -695,9 +695,15 @@ def _decode_fused_sblocked_kernel(
             scores = jax.lax.dot_general(
                 qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [G, bs]
-            new_score = jax.lax.dot_general(
-                qh, nk.reshape(1, -1), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [G, 1]
+            # Elementwise f32 mul+sum instead of a [G,D]x[1,D] dot: Mosaic
+            # lowers the tiny dot as a fused broadcast+convert that trips
+            # its verifier ('vector.broadcast' bf16->f32).  Products are
+            # exact (bf16*bf16 in f32); only the sum order differs from
+            # the MXU dot (reorder-class drift, same bound as the online
+            # softmax itself).
+            new_score = jnp.sum(
+                qh.astype(jnp.float32) * nk.astype(jnp.float32)[None, :],
+                axis=-1, keepdims=True)  # [G, 1]
             if quant:
                 nsk = scale_k[head, 0] if pe is not None \
                     else newsc_ref[b, 0, head]

@@ -186,7 +186,7 @@ class _BigSeq:
 
 
 @pytest.mark.parametrize("kind", ["bf16", "i8"])
-@pytest.mark.parametrize("n_pos,window", [(60, 256), (300, 256), (300, 64)])
+@pytest.mark.parametrize("n_pos,window", [(60, 255), (300, 255), (300, 64)])
 def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
     """GEMMA_SBLOCK_DECODE=1: the S-blocked live-frontier kernel matches
     the one-shot fused kernel within online-softmax reorder drift, and
@@ -195,7 +195,7 @@ def test_sblocked_matches_oneshot(kind, n_pos, window, monkeypatch):
     windowed."""
     from gemma_tpu.ops.decode_attention import _sublane, pick_s_block
 
-    seq = 256
+    seq = 255
     rng = np.random.default_rng(n_pos + window)
     cache = KVCache.create(CONFIG, B, seq, kind=kind)
     kpre = jnp.asarray(
@@ -249,7 +249,7 @@ def test_sblocked_rope_and_valid_mask(monkeypatch):
     from gemma_tpu.ops.decode_attention import RopeSpec
     from gemma_tpu.ops.ops import create_inv_timescale
 
-    seq, n_pos = 256, 120
+    seq, n_pos = 255, 120
     rng = np.random.default_rng(7)
     cache = KVCache.create(CONFIG, B, seq, kind="i8")
     kpre = jnp.asarray(

@@ -162,65 +162,84 @@ def transformer_layer(
         a_in = ops.rms_norm(x, layer.pre_att_norm).reshape(
             b * t, model_dim).astype(jnp.bfloat16)
         pro = None
-    if layer.qkv_cat is not None:
-        # One GEMM for q and kv (row-concatenated weights).
-        qkv_all = matmul(a_in, layer.qkv_cat, out_dtype=jnp.float32,
-                         prologue_norm=pro)
-        q = qkv_all[:, : heads * qkv_dim]
-        kv = qkv_all[:, heads * qkv_dim:]
-    else:
-        q = matmul(a_in, layer.qkv1, out_dtype=jnp.float32,
-                   prologue_norm=pro)
-        kv = matmul(a_in, layer.qkv2, out_dtype=jnp.float32,
-                    prologue_norm=pro)
-    q = q.reshape(b, t, heads, qkv_dim)
-    kv = kv.reshape(b, t, kv_heads, 2, qkv_dim)
-    k, v = kv[..., 0, :], kv[..., 1, :]
-
     is_global = config.is_global_layer(layer_idx)
     ts = inv_timescale_global if (is_global and inv_timescale_global is not None) \
         else inv_timescale
     query_scale = config.query_scale_value()
-
     window = config.attention_window_sizes[layer_idx]
     # T == 1 with an integer prefix is the decode hot path; a valid mask
     # routes masked slots' KV writes to the garbage row (a padding slot in
     # a shared decode step must NOT write a real ring row — it could alias
     # a still-attendable position of a prompt being admitted, serving.py).
     is_decode = (t == 1 and isinstance(prefix_end, int) and prefix_end == 0)
-    if is_decode:
-        # Decode hot path: QK norms + RoPE, the in-place KV row write
-        # (+ i8 row quantization) and whole-panel attention all run as
-        # ONE kernel on TPU; the XLA fallback composes the same stages —
-        # ops/decode_attention.py.
-        from gemma_tpu.ops.decode_attention import (RopeSpec,
-                                                    decode_attention_write)
 
-        spec = RopeSpec(
+    def rope_spec():
+        from gemma_tpu.ops.decode_attention import RopeSpec
+
+        return RopeSpec(
             ts, int(lc.post_qk), query_scale,
             key_norm=layer.key_norm if lc.use_qk_norm else None,
             query_norm=layer.query_norm if lc.use_qk_norm else None)
-        att_out, cache = decode_attention_write(
-            cache, layer_idx, q, positions, k, v, window,
-            att_cap=config.att_cap, valid=valid, rope=spec)
+
+    att_flat = None  # [bt, heads*D] bf16 once attention ran
+    if layer.qkv_cat is not None:
+        # One GEMM for q and kv (row-concatenated weights).
+        qkv_all = matmul(a_in, layer.qkv_cat, out_dtype=jnp.float32,
+                         prologue_norm=pro)
+        if is_decode:
+            # Decode hot path: the GEMM row feeds the fused write+attend
+            # kernel LANE-MAJOR (no q/kv slice+stack relayouts) and the
+            # kernel emits the att_w GEMM's [bt, heads*D] bf16 A-row
+            # directly — QK norms, RoPE, the i8 row quantization, the
+            # in-place KV ring write and whole-panel attention all in ONE
+            # kernel (ops/decode_attention.py, gemma.cc:83-116).
+            from gemma_tpu.ops.decode_attention import (
+                decode_attention_write_packed)
+
+            att_flat, cache = decode_attention_write_packed(
+                cache, layer_idx, qkv_all, positions, window, heads=heads,
+                att_cap=config.att_cap, valid=valid, rope=rope_spec())
+        else:
+            q = qkv_all[:, : heads * qkv_dim]
+            kv = qkv_all[:, heads * qkv_dim:]
     else:
-        # Prefill: norms + RoPE (attention.cc:142-151, 288-320), scatter
-        # KV rows, then flash attention (Pallas on TPU, XLA fallback
-        # elsewhere) — ops/flash_attention.py.
-        from gemma_tpu.ops.flash_attention import flash_prefill_attention
+        q = matmul(a_in, layer.qkv1, out_dtype=jnp.float32,
+                   prologue_norm=pro)
+        kv = matmul(a_in, layer.qkv2, out_dtype=jnp.float32,
+                    prologue_norm=pro)
 
-        if lc.use_qk_norm and layer.key_norm is not None:
-            k = ops.rms_norm(k, layer.key_norm)
-        k = _position_encode(k, positions, ts, 1.0, lc.post_qk)
-        if lc.use_qk_norm and layer.query_norm is not None:
-            q = ops.rms_norm(q, layer.query_norm)
-        q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
-        cache = cache.update(layer_idx, positions, k, v, valid=valid)
-        att_out = flash_prefill_attention(
-            cache, layer_idx, q, positions, window,
-            att_cap=config.att_cap, prefix_end=prefix_end)
+    if att_flat is None:
+        q = q.reshape(b, t, heads, qkv_dim)
+        kv = kv.reshape(b, t, kv_heads, 2, qkv_dim)
+        k, v = kv[..., 0, :], kv[..., 1, :]
+        if is_decode:
+            # Split-weight decode (TP shards): fused write+attend with
+            # host-side head reshapes — ops/decode_attention.py.
+            from gemma_tpu.ops.decode_attention import (
+                decode_attention_write)
 
-    att_out = att_out.reshape(b * t, heads * qkv_dim).astype(jnp.bfloat16)
+            att_out, cache = decode_attention_write(
+                cache, layer_idx, q, positions, k, v, window,
+                att_cap=config.att_cap, valid=valid, rope=rope_spec())
+        else:
+            # Prefill: norms + RoPE (attention.cc:142-151, 288-320),
+            # scatter KV rows, then flash attention (Pallas on TPU, XLA
+            # fallback elsewhere) — ops/flash_attention.py.
+            from gemma_tpu.ops.flash_attention import flash_prefill_attention
+
+            if lc.use_qk_norm and layer.key_norm is not None:
+                k = ops.rms_norm(k, layer.key_norm)
+            k = _position_encode(k, positions, ts, 1.0, lc.post_qk)
+            if lc.use_qk_norm and layer.query_norm is not None:
+                q = ops.rms_norm(q, layer.query_norm)
+            q = _position_encode(q, positions, ts, query_scale, lc.post_qk)
+            cache = cache.update(layer_idx, positions, k, v, valid=valid)
+            att_out = flash_prefill_attention(
+                cache, layer_idx, q, positions, window,
+                att_cap=config.att_cap, prefix_end=prefix_end)
+        att_flat = att_out.reshape(
+            b * t, heads * qkv_dim).astype(jnp.bfloat16)
+    att_out = att_flat
     post_att = layer.post_att_norm \
         if lc.post_norm == PostNormType.SCALE else None
     if fuse:

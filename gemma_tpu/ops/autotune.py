@@ -409,7 +409,8 @@ def autotune(m: int, k: int, n: int, kind: str, reps: int | None = None,
     return best
 
 
-def model_shapes(config, batch_sizes=(16, 256)) -> list[tuple[int, int, int]]:
+def model_shapes(config, batch_sizes=(16, 256),
+                 include_head: bool = True) -> list[tuple[int, int, int]]:
     """All (M, K, N) GEMM shapes one decode/prefill step of `config` hits."""
     shapes = set()
     d = config.model_dim
@@ -422,13 +423,15 @@ def model_shapes(config, batch_sizes=(16, 256)) -> list[tuple[int, int, int]]:
             shapes.add((m, h * q, d))        # att_w
             shapes.add((m, d, ff))           # gating1/2
             shapes.add((m, ff, d))           # linear
-    for m in batch_sizes:
-        shapes.add((m, d, config.vocab_size))  # logits (embedding^T)
+    if include_head:
+        for m in batch_sizes:
+            shapes.add((m, d, config.vocab_size))  # logits (embedding^T)
     return sorted(shapes)
 
 
 def tune_model(config, kinds=("sfp",), batch_sizes=(16, 256),
-               verbose: bool = True, variants=("plain",)) -> None:
+               verbose: bool = True, variants=("plain",),
+               include_head: bool = True) -> None:
     """Sweep every GEMM shape of one model (the gemma_batch_bench warmup
     analog, but persisted).
 
@@ -442,7 +445,8 @@ def tune_model(config, kinds=("sfp",), batch_sizes=(16, 256),
     for kind in kinds:
         for variant in variants:
             if variant == "plain":
-                shapes = model_shapes(config, batch_sizes)
+                shapes = model_shapes(config, batch_sizes,
+                                      include_head=include_head)
             elif variant == "gated":
                 shapes = sorted(gate_shapes)
             else:

@@ -542,6 +542,158 @@ def _decode_fused_kernel(h: int, groups: int, seq_len: int, window: int,
         o_ref[0, head * groups : (head + 1) * groups, :] = oh
 
 
+def _decode_fused_packed_kernel(heads: int, h: int, groups: int,
+                                seq_len: int, window: int, att_cap: float,
+                                s_alloc: int, w: int, quant: bool, pe: int,
+                                qscale: float, has_kn: bool, has_qn: bool,
+                                *refs):
+    """_decode_fused_kernel, but consuming the qkv GEMM's output DIRECTLY.
+
+    The unrolled decode step's remaining fixed overhead is XLA glue
+    between the qkv GEMM and this kernel (q/kv slice + reshape + stack
+    relayouts) and between this kernel and the att_w GEMM (the [B, H, D]
+    -> [B, H*D] reshape + bf16 cast) — ~2 launch-bound fusions per layer
+    at the measured ~2.7 us/kernel floor (docs/PERF.md round-5 #6).  This
+    variant takes the GEMM's [1, (heads + 2*kv_heads)*D] row per batch
+    program LANE-MAJOR and addresses each head's q/k/v as a static,
+    tile-aligned lane slice (no sublane relayout anywhere — the per-head
+    q rows become [1, D] MXU matvecs, identical math row-for-row), and
+    writes the attention output as the att_w GEMM's native [1, heads*D]
+    bf16 A-row.  The surrounding GEMMs keep their tuned tiles untouched.
+
+    Column order matches gemma.py's qkv_cat layout: q heads first
+    (kv-major: head = kv_head*groups + g), then per-kv-head interleaved
+    K/V (attention.cc:288-320's QKV ordering).  Semantics otherwise
+    identical to _decode_fused_kernel (rope REQUIRED: pe is not None)."""
+    i = 0
+    lay_ref = refs[i]; i += 1  # noqa: F841 — consumed by the index maps
+    rows_ref = refs[i]; i += 1
+    pos_ref = refs[i]; i += 1
+    qkv_ref = refs[i]; i += 1
+    its_ref = refs[i]; i += 1
+    kn_ref = qn_ref = None
+    if has_kn:
+        kn_ref = refs[i]; i += 1
+    if has_qn:
+        qn_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    sck_ref = scv_ref = None
+    if quant:
+        sck_ref = refs[i]; i += 1
+        scv_ref = refs[i]; i += 1
+    kvtile_ref = refs[i]; i += 1
+    sctile_ref = None
+    if quant:
+        sctile_ref = refs[i]; i += 1
+    o_ref = refs[i]; i += 1
+    okv_ref = refs[i]; i += 1
+    osc_ref = refs[i] if quant else None
+
+    d = k_ref.shape[-1]
+    b = pl.program_id(0)
+    row = rows_ref[b]
+    pos_b = pos_ref[b]
+    its = its_ref[...][0]
+
+    # --- per-head new K/V rows from lane slices of the GEMM output ---
+    sub = row % w
+    r_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    new_ks, new_vs, scale_ks, scale_vs = [], [], [], []
+    for head in range(h):
+        koff = (heads + 2 * head) * d
+        kraw = qkv_ref[:, koff:koff + d].astype(jnp.float32)  # [1, D]
+        vraw = qkv_ref[:, koff + d:koff + 2 * d].astype(jnp.float32)
+        if has_kn:
+            kraw = _krms(kraw, kn_ref[...][0].astype(jnp.float32))
+        kraw = _pe_apply(kraw, pos_b, its, 1.0, pe)
+        if quant:
+            # quantize_rows semantics (ops/kv_quant.py:26-37), per head.
+            amax_k = jnp.max(jnp.abs(kraw), axis=-1, keepdims=True)
+            amax_v = jnp.max(jnp.abs(vraw), axis=-1, keepdims=True)
+            sk, sv = amax_k / 127.0, amax_v / 127.0
+            inv_k = jnp.where(sk > 0.0, 1.0 / sk, 0.0)
+            inv_v = jnp.where(sv > 0.0, 1.0 / sv, 0.0)
+            nk = jnp.rint(kraw * inv_k).astype(jnp.int8)
+            nv = jnp.rint(vraw * inv_v).astype(jnp.int8)
+            scale_ks.append(sk)
+            scale_vs.append(sv)
+        else:
+            nk = kraw.astype(okv_ref.dtype)
+            nv = vraw.astype(okv_ref.dtype)
+        new_ks.append(nk)
+        new_vs.append(nv)
+        # In-place ring-row write, one [w, d] sublane tile per (plane,
+        # head) — same tiles _kv_write_kernel touches.
+        okv_ref[0, 0, 0, head] = jnp.where(
+            r_w == sub, nk.astype(okv_ref.dtype), kvtile_ref[0, 0, 0, head])
+        okv_ref[0, 0, 1, head] = jnp.where(
+            r_w == sub, nv.astype(okv_ref.dtype), kvtile_ref[0, 0, 1, head])
+    if quant:
+        s_sc = sctile_ref.shape[-1]
+        lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, s_sc), 1)
+        hit = lane_sc == row
+        for j, scs in ((0, scale_ks), (1, scale_vs)):
+            for head in range(h):
+                osc_ref[0, 0, j, head] = jnp.where(
+                    hit, scs[head][0, 0], sctile_ref[0, 0, j, head])
+
+    # --- attention with the new row substituted in-compute ---
+    newest = pos_b
+    start = jnp.maximum(newest - (window - 1), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, s_alloc), 1)
+    key_abs = newest - ((newest % seq_len - s) % seq_len)
+    ok = (key_abs >= start) & (key_abs <= newest) & (s < seq_len)
+    at_row = s == row
+    cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
+        else jnp.bfloat16
+    for head in range(h):
+        kh = k_ref[0, 0, 0, head]        # [S, D] (stale at row)
+        vh = v_ref[0, 0, 0, head]
+        nk = new_ks[head].astype(cdt)    # [1, D]
+        nv = new_vs[head].astype(cdt)
+        if quant:
+            nsk, nsv = scale_ks[head][0, 0], scale_vs[head][0, 0]
+            sck = jnp.where(at_row, nsk, sck_ref[0, 0, 0, head])  # [1, S]
+            scv = jnp.where(at_row, nsv, scv_ref[0, 0, 0, head])
+        for g in range(groups):
+            qoff = (head * groups + g) * d
+            qg = qkv_ref[:, qoff:qoff + d].astype(jnp.float32)  # [1, D]
+            if has_qn:
+                qg = _krms(qg, qn_ref[...][0].astype(jnp.float32))
+            qg = _pe_apply(qg, pos_b, its, qscale, pe).astype(cdt)
+            scores = jax.lax.dot_general(
+                qg, kh.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, S]
+            new_score = jax.lax.dot_general(
+                qg, nk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, 1]
+            scores = jnp.where(at_row, new_score, scores)
+            if quant:
+                scores = scores * sck
+            if att_cap:
+                scores = att_cap * jnp.tanh(scores / att_cap)
+            scores = jnp.where(ok, scores, NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / e.sum(axis=-1, keepdims=True)
+            if quant:
+                probs = probs * scv
+            p_row = jnp.sum(jnp.where(at_row, probs, 0.0), axis=-1,
+                            keepdims=True)  # [1, 1]
+            probs_z = jnp.where(at_row, 0.0, probs)
+            oh = jax.lax.dot_general(
+                probs_z.astype(cdt), vh.astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, D]
+            oh = oh + (p_row.astype(cdt).astype(jnp.float32)
+                       * nv.astype(jnp.float32))
+            o_ref[:, qoff:qoff + d] = oh.astype(o_ref.dtype)
+
+
 def pick_s_block(s_alloc: int, sublane: int, row_bytes: int,
                  min_dma: int = 64 << 10,
                  lane_multiple: int | None = None) -> int | None:
@@ -1074,6 +1226,261 @@ def _decode_fused_q_pallas(kv, sc, newkv, newsc, q, rows, pos,
         interpret=interpret,
     )(*scalar_inputs, q, newkv, *rope_inputs, kv, kv, sc, sc, kv, sc)
     return o, new_pool, new_sc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "seq_len", "window", "att_cap", "pe",
+                     "qscale", "interpret"),
+    donate_argnums=0,
+)
+def _decode_fused_packed_pallas(kv, qkv, rows, pos, layer_idx, heads: int,
+                                seq_len: int, window: int, att_cap: float,
+                                pe: int, qscale: float = 1.0,
+                                inv_ts=None, knorm=None, qnorm=None,
+                                interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = heads // h
+    w = _sublane(kv.dtype)
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
+    nlanes = qkv.shape[1]
+
+    kernel = functools.partial(
+        _decode_fused_packed_kernel, heads, h, groups, seq_len, window,
+        att_cap, s_alloc, w, False, pe, qscale, knorm is not None,
+        qnorm is not None)
+    in_specs = [
+        pl.BlockSpec((1, nlanes), lambda i, *pf: (i, 0)),
+    ] + rope_specs + [
+        pl.BlockSpec((1, 1, 1, h, s_alloc, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1, h, s_alloc, d),
+                     lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 2, h, w, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, heads * d), lambda i, *pf: (i, 0)),
+        pl.BlockSpec((1, 1, 2, h, w, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0)),
+    ]
+    o, new_pool = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads * d), jnp.bfloat16),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        ],
+        input_output_aliases={6 + len(rope_inputs): 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lay, rows, pos, qkv, *rope_inputs, kv, kv, kv)
+    return o, new_pool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "seq_len", "window", "att_cap", "pe",
+                     "qscale", "interpret"),
+    donate_argnums=(0, 1),
+)
+def _decode_fused_packed_q_pallas(kv, sc, qkv, rows, pos, layer_idx,
+                                  heads: int, seq_len: int, window: int,
+                                  att_cap: float, pe: int,
+                                  qscale: float = 1.0, inv_ts=None,
+                                  knorm=None, qnorm=None,
+                                  interpret: bool = False):
+    b, n_layers, _, h, s_alloc, d = kv.shape
+    groups = heads // h
+    w = _sublane(kv.dtype)
+    s_sc = sc.shape[-1]
+    lay = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    rope_arrays = [a for a in (inv_ts, knorm, qnorm) if a is not None]
+    rope_specs, rope_inputs = _rope_specs(pe, rope_arrays)
+    nlanes = qkv.shape[1]
+
+    kernel = functools.partial(
+        _decode_fused_packed_kernel, heads, h, groups, seq_len, window,
+        att_cap, s_alloc, w, True, pe, qscale, knorm is not None,
+        qnorm is not None)
+    in_specs = [
+        pl.BlockSpec((1, nlanes), lambda i, *pf: (i, 0)),
+    ] + rope_specs + [
+        pl.BlockSpec((1, 1, 1, h, s_alloc, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1, h, s_alloc, d),
+                     lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1, h, 1, s_sc),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1, h, 1, s_sc),
+                     lambda i, *pf: (i, pf[0][0], 1, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 2, h, w, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0)),
+        pl.BlockSpec((1, 1, 2, h, 1, s_sc),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, heads * d), lambda i, *pf: (i, 0)),
+        pl.BlockSpec((1, 1, 2, h, w, d),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, pf[1][i] // w, 0)),
+        pl.BlockSpec((1, 1, 2, h, 1, s_sc),
+                     lambda i, *pf: (i, pf[0][0], 0, 0, 0, 0)),
+    ]
+    o, new_pool, new_sc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads * d), jnp.bfloat16),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+            jax.ShapeDtypeStruct(sc.shape, sc.dtype),
+        ],
+        input_output_aliases={
+            8 + len(rope_inputs): 1,
+            9 + len(rope_inputs): 2,
+        },
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lay, rows, pos, qkv, *rope_inputs, kv, kv, sc, sc, kv, sc)
+    return o, new_pool, new_sc
+
+
+_PACKED_PROBED: dict = {}
+
+
+def _probe_packed_compile(cache, layer_idx: int, qkv_shape, heads: int,
+                          rope, window: int, att_cap: float) -> bool:
+    """One-time AOT compile check of the packed fused kernel (same
+    pattern as _probe_fused_compile: an in-jit Mosaic failure would sink
+    the enclosing executable with no fallback)."""
+    pool, idx, ring = cache.pool(layer_idx)
+    d = pool.shape[-1]
+    window = int(window)
+    att_cap = float(att_cap)
+    key = (cache.quantized, pool.shape, str(pool.dtype), tuple(qkv_shape),
+           heads, ring, window, att_cap, rope.post_qk, rope.query_scale,
+           rope.key_norm is not None, rope.query_norm is not None)
+    hit = _PACKED_PROBED.get(key)
+    if hit is not None:
+        return hit
+    try:
+        b = qkv_shape[0]
+        qkv = jax.ShapeDtypeStruct(tuple(qkv_shape), jnp.float32)
+        rows = jax.ShapeDtypeStruct((b,), jnp.int32)
+        pos = jax.ShapeDtypeStruct((b,), jnp.int32)
+        rkw = {"inv_ts": jax.ShapeDtypeStruct(
+            (rope.inv_timescale.shape[-1],), jnp.float32)}
+        if rope.key_norm is not None:
+            rkw["knorm"] = jax.ShapeDtypeStruct((d,), jnp.float32)
+        if rope.query_norm is not None:
+            rkw["qnorm"] = jax.ShapeDtypeStruct((d,), jnp.float32)
+        lidx = jax.ShapeDtypeStruct((), jnp.int32)
+        if cache.quantized:
+            sc = cache.pool_scale(layer_idx)
+            _decode_fused_packed_q_pallas.lower(
+                _sds(pool), _sds(sc), qkv, rows, pos, lidx, heads, ring,
+                window, att_cap, pe=rope.post_qk,
+                qscale=rope.query_scale, interpret=False, **rkw).compile()
+        else:
+            _decode_fused_packed_pallas.lower(
+                _sds(pool), qkv, rows, pos, lidx, heads, ring, window,
+                att_cap, pe=rope.post_qk, qscale=rope.query_scale,
+                interpret=False, **rkw).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — any compile failure means fallback
+        ok = False
+    _PACKED_PROBED[key] = ok
+    return ok
+
+
+def decode_attention_write_packed(cache, layer_idx: int, qkv_all,
+                                  positions, window: int, heads: int,
+                                  att_cap: float = 0.0, valid=None,
+                                  rope: RopeSpec | None = None,
+                                  use_pallas: bool | None = None,
+                                  interpret: bool = False):
+    """decode_attention_write consuming the qkv GEMM's output directly.
+
+    qkv_all: [B, (heads + 2*kv_heads)*D] f32 — the fused qkv_cat GEMM
+    row, with gemma.py's column order (q heads kv-major, then per-kv-head
+    interleaved K/V).  Returns (att_out [B, heads*D] bf16, cache) — the
+    att_w GEMM's native A layout.  Eliminates the q/kv slice-reshape-
+    stack and att-out reshape-cast XLA fusions of the unpacked path
+    (~2 launch-bound kernels/layer, docs/PERF.md round-5 #6).  rope is
+    REQUIRED (the decode hot path always position-encodes in-kernel).
+    Falls back to the host-side slicing + decode_attention_write pair
+    off-TPU, for lane-unaligned heads, past the VMEM panel budget, or
+    when GEMMA_PACKED_DECODE=0 / GEMMA_FUSED_DECODE=0 (hardware A/B
+    escape hatches)."""
+    import os
+
+    assert rope is not None, "packed decode requires in-kernel rope"
+    pool, idx, ring = cache.pool(layer_idx)
+    kv_heads, d = pool.shape[3], pool.shape[5]
+    b = qkv_all.shape[0]
+    if use_pallas is None:
+        use_pallas = _use_pallas() and d % 128 == 0 \
+            and os.environ.get("GEMMA_FUSED_DECODE", "1") != "0" \
+            and os.environ.get("GEMMA_PACKED_DECODE", "1") != "0" \
+            and os.environ.get("GEMMA_SBLOCK_DECODE", "0") != "1"
+    if use_pallas:
+        itemsize = jnp.dtype(pool.dtype).itemsize
+        panel = kv_heads * pool.shape[4] * d * 2 * itemsize * 2
+        if panel > _PANEL_VMEM_BUDGET:
+            use_pallas = False
+    if use_pallas and not interpret and _use_pallas():
+        use_pallas = _probe_packed_compile(cache, layer_idx, qkv_all.shape,
+                                           heads, rope, window, att_cap)
+    if not use_pallas:
+        # The glue this kernel exists to remove — paid only on fallback
+        # paths (CPU tests, S-blocked opt-in, unaligned configs).
+        q = qkv_all[:, : heads * d].reshape(b, 1, heads, d)
+        kvp = qkv_all[:, heads * d:].reshape(b, 1, kv_heads, 2, d)
+        k, v = kvp[..., 0, :], kvp[..., 1, :]
+        out, cache = decode_attention_write(
+            cache, layer_idx, q, positions, k, v, window, att_cap=att_cap,
+            valid=valid, rope=rope, interpret=interpret)
+        return out.reshape(b, heads * d).astype(jnp.bfloat16), cache
+
+    rows = (positions[:, 0] % ring).astype(jnp.int32)
+    if valid is not None:
+        rows = jnp.where(valid[:, 0], rows, ring)
+    pos = positions[:, 0].astype(jnp.int32)
+    rkw = dict(
+        inv_ts=rope.inv_timescale.astype(jnp.float32),
+        knorm=None if rope.key_norm is None
+        else rope.key_norm.astype(jnp.float32),
+        qnorm=None if rope.query_norm is None
+        else rope.query_norm.astype(jnp.float32),
+    )
+    if cache.quantized:
+        o, new_pool, new_sc = _decode_fused_packed_q_pallas(
+            pool, cache.pool_scale(layer_idx), qkv_all, rows, pos, idx,
+            heads, ring, window, float(att_cap), pe=rope.post_qk,
+            qscale=rope.query_scale, interpret=interpret, **rkw)
+        cache = cache._replace_pool(layer_idx, new_pool, new_sc)
+    else:
+        o, new_pool = _decode_fused_packed_pallas(
+            pool, qkv_all, rows, pos, idx, heads, ring, window,
+            float(att_cap), pe=rope.post_qk, qscale=rope.query_scale,
+            interpret=interpret, **rkw)
+        cache = cache._replace_pool(layer_idx, new_pool)
+    return o, cache
 
 
 class RopeSpec:

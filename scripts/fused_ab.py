@@ -21,10 +21,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DECODE_ARM = """
-import json
+import json, sys
 from bench import measure_decode
 from gemma_tpu.models.configs import config_gemma2_2b
-r = measure_decode(config_gemma2_2b(), "i8", "i8", 16, 1024, 64)
+fill = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+r = measure_decode(config_gemma2_2b(), "i8", "i8", 16, 1024, 64, fill=fill)
 print("RESULT " + json.dumps(r))
 """
 
@@ -59,6 +60,22 @@ def main() -> None:
         print(f"fusion win: {fused['tok_s'] / composed['tok_s']:.3f}x "
               f"tok/s ({composed['dt_ms'] - fused['dt_ms']:+.1f} ms "
               f"per 64-step loop)")
+    if what in ("packed", "all"):
+        # Packed-vs-unpacked fused decode (round 5): both arms run the
+        # fused write+attend+RoPE kernel; the delta is the XLA glue the
+        # packed kernel removes (q/kv slice+stack relayouts + the
+        # att-out reshape/cast — ~2 launch-bound fusions per layer).
+        for fill in (0.5, 1.0):
+            packed = run_arm(DECODE_ARM, {"GEMMA_PACKED_DECODE": "1"},
+                             (fill,))
+            print(f"packed decode   fill={fill}: {packed}")
+            unpacked = run_arm(DECODE_ARM, {"GEMMA_PACKED_DECODE": "0"},
+                               (fill,))
+            print(f"unpacked decode fill={fill}: {unpacked}")
+            print(f"packed win fill={fill}: "
+                  f"{packed['tok_s'] / unpacked['tok_s']:.3f}x tok/s "
+                  f"({unpacked['dt_ms'] - packed['dt_ms']:+.1f} ms "
+                  f"per 64-step loop)")
     if what in ("prefill", "all"):
         for batch in (4, 1):
             for chunk in (256, 512, 1024):

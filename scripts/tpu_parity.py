@@ -284,6 +284,25 @@ def main() -> None:
         ok &= check(f"decode_write_attend_rope[{kind}] cache rows",
                     c_rope.k_layer(0), c_want.k_layer(0), 1e-4, 1e-4)
 
+        # Packed variant (the shipped decode hot path): the qkv GEMM row
+        # consumed lane-major, [B, H*D] bf16 emitted directly.
+        from gemma_tpu.ops.decode_attention import (
+            decode_attention_write_packed)
+
+        kvrow = np.stack([np.asarray(k1)[:, 0], np.asarray(v1)[:, 0]],
+                         axis=2)
+        qkv_row = jnp.asarray(np.concatenate(
+            [np.asarray(q).reshape(B, H * D),
+             kvrow.reshape(B, 2 * KVH * D)], axis=1))
+        got_p, c_packed = decode_attention_write_packed(
+            cache.copy(), 0, qkv_row, p2, SEQ, heads=H, att_cap=50.0,
+            rope=spec, use_pallas=True)
+        want_p = jnp.asarray(want_r).reshape(B, H * D).astype(jnp.bfloat16)
+        ok &= check(f"decode_write_attend_packed[{kind}] native vs XLA",
+                    got_p, want_p, 2e-2, 2e-2)
+        ok &= check(f"decode_write_attend_packed[{kind}] cache rows",
+                    c_packed.k_layer(0), c_want.k_layer(0), 1e-4, 1e-4)
+
         t = 64
         qp = jnp.asarray(rng.normal(0, 1, (B, t, H, D)).astype(np.float32))
         posp = jnp.tile(jnp.arange(136, 200, dtype=jnp.int32), (B, 1))

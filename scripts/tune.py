@@ -25,6 +25,10 @@ def main() -> None:
     p.add_argument("--kinds", default="sfp")
     p.add_argument("--ms", default="16,256")
     p.add_argument("--variants", default="plain")
+    p.add_argument("--no_head", action="store_true",
+                   help="skip the [M, model_dim, vocab] logits shape "
+                        "(prefill chunks never run it at M = batch*chunk; "
+                        "only the last-token M = batch rows do)")
     args = p.parse_args()
 
     kinds = args.kinds.split(",")
@@ -34,7 +38,7 @@ def main() -> None:
         config = getattr(C, f"config_{name}")()
         print(f"=== {name} {kinds} M={ms} variants={variants} ===")
         at.tune_model(config, kinds=kinds, batch_sizes=ms,
-                      variants=variants)
+                      variants=variants, include_head=not args.no_head)
 
     # Merge the user cache (where autotune persists) into the packaged one.
     with open(at._CACHE_PATH) as f:

@@ -283,3 +283,103 @@ def test_sblocked_rope_and_valid_mask(monkeypatch):
                                   np.asarray(cache_c.pool(0)[0]))
     np.testing.assert_array_equal(np.asarray(cache_s.pool_scale(0)),
                                   np.asarray(cache_c.pool_scale(0)))
+
+
+def _packed_row(rng, q, k, v):
+    """Assemble the qkv GEMM's output row from separate q/k/v arrays
+    (q heads kv-major, then per-kv-head interleaved K/V — gemma.py's
+    qkv_cat column order)."""
+    b = q.shape[0]
+    kv = np.stack([np.asarray(k)[:, 0], np.asarray(v)[:, 0]], axis=2)
+    return jnp.asarray(np.concatenate(
+        [np.asarray(q).reshape(b, H * D), kv.reshape(b, 2 * KVH * D)],
+        axis=1))
+
+
+@pytest.mark.parametrize("kind", ["bf16", "f32", "i8"])
+@pytest.mark.parametrize("n_pos,window,post_qk,with_norms", [
+    (24, SEQ, 0, False), (40, SEQ, 1, False), (40, 16, 0, False),
+    (24, SEQ, 1, True)])
+def test_packed_matches_unpacked_fused(kind, n_pos, window, post_qk,
+                                       with_norms):
+    """decode_attention_write_packed (lane-major qkv row in, [B, H*D]
+    bf16 out) == the unpacked fused kernel: outputs equal after the
+    host-side bf16 cast, pools and scales IDENTICAL.  Covers ring
+    wraparound, windowed layers, both rope modes, and QK norms."""
+    from gemma_tpu.ops import ops
+    from gemma_tpu.ops.decode_attention import (
+        RopeSpec, decode_attention_write_packed)
+
+    rng = np.random.default_rng(100 + n_pos + window + post_qk)
+    cache_p = _prefilled(rng, kind, n_pos)
+    cache_u = cache_p.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+    inv_ts = jnp.asarray(ops.create_inv_timescale(D, post_qk == 1))
+    kn = qn = None
+    if with_norms:
+        kn = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+        qn = jnp.asarray(rng.normal(0, 0.1, (D,)).astype(np.float32))
+    spec = RopeSpec(inv_ts, post_qk, 0.0883883476, key_norm=kn,
+                    query_norm=qn)
+
+    want, cache_u = decode_attention_write(
+        cache_u, 0, q, positions, k, v, window, att_cap=50.0, rope=spec,
+        use_pallas=True, interpret=True)
+    want = np.asarray(want.reshape(B, H * D).astype(jnp.bfloat16),
+                      np.float32)
+
+    qkv_row = _packed_row(rng, q, k, v)
+    got, cache_p = decode_attention_write_packed(
+        cache_p, 0, qkv_row, positions, window, heads=H, att_cap=50.0,
+        rope=spec, use_pallas=True, interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (B, H * D)
+    got = np.asarray(got, np.float32)
+
+    # Per-row math is identical ([1, D] matvecs vs [G, D] dots differ
+    # only by MXU row independence); allow 1-bf16-ulp on the cast output.
+    np.testing.assert_allclose(got, want, rtol=8e-3, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cache_p.kv),
+                                  np.asarray(cache_u.kv))
+    if kind == "i8":
+        np.testing.assert_allclose(np.asarray(cache_p.kv_scale),
+                                   np.asarray(cache_u.kv_scale), rtol=1e-6)
+
+
+def test_packed_valid_mask_and_fallback():
+    """Masked slots write only the garbage row through the packed kernel;
+    the use_pallas=False fallback (host slicing + composed pair) returns
+    the same values the packed kernel does."""
+    from gemma_tpu.ops import ops
+    from gemma_tpu.ops.decode_attention import (
+        RopeSpec, decode_attention_write_packed)
+
+    rng = np.random.default_rng(33)
+    n_pos = 24
+    cache_p = _prefilled(rng, "i8", n_pos)
+    cache_f = cache_p.copy()
+    q = jnp.asarray(rng.normal(0, 1, (B, 1, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, 1, KVH, D)).astype(np.float32))
+    positions = jnp.full((B, 1), n_pos, jnp.int32)
+    valid = jnp.asarray([[True], [False]])
+    spec = RopeSpec(jnp.asarray(ops.create_inv_timescale(D, False)), 0,
+                    0.0625)
+    qkv_row = _packed_row(rng, q, k, v)
+
+    got, cache_p = decode_attention_write_packed(
+        cache_p, 0, qkv_row, positions, SEQ, heads=H, att_cap=50.0,
+        valid=valid, rope=spec, use_pallas=True, interpret=True)
+    ref, cache_f = decode_attention_write_packed(
+        cache_f, 0, qkv_row, positions, SEQ, heads=H, att_cap=50.0,
+        valid=valid, rope=spec, use_pallas=False)
+    # Valid slot matches the composed fallback; masked slot's output is
+    # unspecified but no real ring row may be clobbered.
+    np.testing.assert_allclose(np.asarray(got, np.float32)[0],
+                               np.asarray(ref, np.float32)[0],
+                               rtol=8e-3, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(cache_p.kv)[:, :, :, :, :SEQ],
+        np.asarray(cache_f.kv)[:, :, :, :, :SEQ])

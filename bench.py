@@ -366,6 +366,12 @@ def main() -> None:
     try_extra("gemma2_2b_sfp_prefill_b4x256", lambda: {
         "tok_s": measure_prefill(cfg2b(), "sfp", 4, 256 if on_tpu else 32,
                                  seq, reps=16 if on_tpu else 2)["tok_s"]})
+    # The chunk the engine auto-selects at serving batches (engine.py:
+    # prefill_chunk — 512 at b>=2, the measured winner, docs/PERF.md §5).
+    if on_tpu:
+        try_extra("gemma2_2b_i8_prefill_b4x512", lambda: {
+            "tok_s": measure_prefill(cfg2b(), "i8", 4, 512, 2048,
+                                     reps=8)["tok_s"]})
     if on_tpu:
         try_extra("gemma2_9b_sfp_decode_b8", lambda: slim(measure_decode(
             config_gemma2_9b(), "sfp", "bf16", 8, 512, 16)))

@@ -596,47 +596,61 @@ def _decode_fused_packed_kernel(heads: int, h: int, groups: int,
     pos_b = pos_ref[b]
     its = its_ref[...][0]
 
-    # --- per-head new K/V rows from lane slices of the GEMM output ---
-    sub = row % w
-    r_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    new_ks, new_vs, scale_ks, scale_vs = [], [], [], []
+    def lanes(r0: int) -> jnp.ndarray:
+        """Row r0 of the GEMM output as a [1, D] lane slice."""
+        return qkv_ref[:, r0 * d:(r0 + 1) * d]
+
+    # Rebuild the small sublane tiles the batched math wants from the
+    # lane-major GEMM row.  These concats touch <= 2 vregs per row — the
+    # v1 packed kernel skipped them and ran every score/softmax stage as
+    # [1, S] singles instead, which DOUBLED the VPU vreg work and the
+    # MXU dot count across B*L program-steps and measured 0.991x (the
+    # glue win must not be spent inside the kernel).
+    kraw = jnp.concatenate(
+        [lanes(heads + 2 * hh) for hh in range(h)], axis=0
+    ).astype(jnp.float32)  # [H, D]
+    vraw = jnp.concatenate(
+        [lanes(heads + 2 * hh + 1) for hh in range(h)], axis=0
+    ).astype(jnp.float32)
+    qs = []  # per kv head: [G, D] f32 (raw; norm+rope below)
     for head in range(h):
-        koff = (heads + 2 * head) * d
-        kraw = qkv_ref[:, koff:koff + d].astype(jnp.float32)  # [1, D]
-        vraw = qkv_ref[:, koff + d:koff + 2 * d].astype(jnp.float32)
-        if has_kn:
-            kraw = _krms(kraw, kn_ref[...][0].astype(jnp.float32))
-        kraw = _pe_apply(kraw, pos_b, its, 1.0, pe)
-        if quant:
-            # quantize_rows semantics (ops/kv_quant.py:26-37), per head.
-            amax_k = jnp.max(jnp.abs(kraw), axis=-1, keepdims=True)
-            amax_v = jnp.max(jnp.abs(vraw), axis=-1, keepdims=True)
-            sk, sv = amax_k / 127.0, amax_v / 127.0
-            inv_k = jnp.where(sk > 0.0, 1.0 / sk, 0.0)
-            inv_v = jnp.where(sv > 0.0, 1.0 / sv, 0.0)
-            nk = jnp.rint(kraw * inv_k).astype(jnp.int8)
-            nv = jnp.rint(vraw * inv_v).astype(jnp.int8)
-            scale_ks.append(sk)
-            scale_vs.append(sv)
-        else:
-            nk = kraw.astype(okv_ref.dtype)
-            nv = vraw.astype(okv_ref.dtype)
-        new_ks.append(nk)
-        new_vs.append(nv)
-        # In-place ring-row write, one [w, d] sublane tile per (plane,
-        # head) — same tiles _kv_write_kernel touches.
-        okv_ref[0, 0, 0, head] = jnp.where(
-            r_w == sub, nk.astype(okv_ref.dtype), kvtile_ref[0, 0, 0, head])
-        okv_ref[0, 0, 1, head] = jnp.where(
-            r_w == sub, nv.astype(okv_ref.dtype), kvtile_ref[0, 0, 1, head])
+        rows_q = [lanes(head * groups + g) for g in range(groups)]
+        qh = rows_q[0] if groups == 1 else jnp.concatenate(rows_q, axis=0)
+        qs.append(qh.astype(jnp.float32))
+
+    # --- position-encode (and quantize) the new K/V row (same math as
+    # _decode_fused_kernel's pe-path) ---
+    scale_k = scale_v = None  # [H, 1] f32 when quant
+    if has_kn:
+        kraw = _krms(kraw, kn_ref[...][0].astype(jnp.float32))
+    kraw = _pe_apply(kraw, pos_b, its, 1.0, pe)
+    if quant:
+        # quantize_rows semantics (ops/kv_quant.py:26-37), per head.
+        amax_k = jnp.max(jnp.abs(kraw), axis=-1, keepdims=True)
+        amax_v = jnp.max(jnp.abs(vraw), axis=-1, keepdims=True)
+        scale_k, scale_v = amax_k / 127.0, amax_v / 127.0
+        inv_k = jnp.where(scale_k > 0.0, 1.0 / scale_k, 0.0)
+        inv_v = jnp.where(scale_v > 0.0, 1.0 / scale_v, 0.0)
+        new_k = jnp.rint(kraw * inv_k).astype(jnp.int8)
+        new_v = jnp.rint(vraw * inv_v).astype(jnp.int8)
+    else:
+        new_k = kraw.astype(okv_ref.dtype)
+        new_v = vraw.astype(okv_ref.dtype)
+
+    # --- in-place row write (the _kv_write_kernel body) ---
+    sub = row % w
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w, 1), 4)
+    new = jnp.stack([new_k, new_v])[None, None, :, :, None, :]
+    okv_ref[...] = jnp.where(r == sub, new.astype(okv_ref.dtype),
+                             kvtile_ref[...])
     if quant:
         s_sc = sctile_ref.shape[-1]
         lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, s_sc), 1)
         hit = lane_sc == row
-        for j, scs in ((0, scale_ks), (1, scale_vs)):
+        for j, sc in ((0, scale_k), (1, scale_v)):
             for head in range(h):
                 osc_ref[0, 0, j, head] = jnp.where(
-                    hit, scs[head][0, 0], sctile_ref[0, 0, j, head])
+                    hit, sc[head, 0], sctile_ref[0, 0, j, head])
 
     # --- attention with the new row substituted in-compute ---
     newest = pos_b
@@ -648,50 +662,52 @@ def _decode_fused_packed_kernel(heads: int, h: int, groups: int,
     cdt = jnp.float32 if (not quant and k_ref.dtype == jnp.float32) \
         else jnp.bfloat16
     for head in range(h):
+        qh = qs[head]
+        if has_qn:
+            qh = _krms(qh, qn_ref[...][0].astype(jnp.float32))
+        qh = _pe_apply(qh, pos_b, its, qscale, pe).astype(cdt)
         kh = k_ref[0, 0, 0, head]        # [S, D] (stale at row)
         vh = v_ref[0, 0, 0, head]
-        nk = new_ks[head].astype(cdt)    # [1, D]
-        nv = new_vs[head].astype(cdt)
+        nk = new_k[head].astype(cdt)     # [D]
+        nv = new_v[head].astype(cdt)
         if quant:
-            nsk, nsv = scale_ks[head][0, 0], scale_vs[head][0, 0]
+            nsk, nsv = scale_k[head, 0], scale_v[head, 0]
+        scores = jax.lax.dot_general(
+            qh, kh.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+        new_score = jax.lax.dot_general(
+            qh, nk.reshape(1, -1), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, 1]
+        if quant:
             sck = jnp.where(at_row, nsk, sck_ref[0, 0, 0, head])  # [1, S]
+            scores = jnp.where(at_row, new_score, scores) * sck
+        else:
+            scores = jnp.where(at_row, new_score, scores)
+        if att_cap:
+            scores = att_cap * jnp.tanh(scores / att_cap)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / e.sum(axis=-1, keepdims=True)
+        if quant:
             scv = jnp.where(at_row, nsv, scv_ref[0, 0, 0, head])
+            probs = probs * scv
+        p_row = jnp.sum(jnp.where(at_row, probs, 0.0), axis=-1,
+                        keepdims=True)  # [G, 1]
+        probs_z = jnp.where(at_row, 0.0, probs)
+        oh = jax.lax.dot_general(
+            probs_z.astype(cdt), vh.astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, D]
+        oh = oh + (p_row.astype(cdt).astype(jnp.float32)
+                   * nv.reshape(1, -1).astype(jnp.float32))
+        oh = oh.astype(o_ref.dtype)
         for g in range(groups):
             qoff = (head * groups + g) * d
-            qg = qkv_ref[:, qoff:qoff + d].astype(jnp.float32)  # [1, D]
-            if has_qn:
-                qg = _krms(qg, qn_ref[...][0].astype(jnp.float32))
-            qg = _pe_apply(qg, pos_b, its, qscale, pe).astype(cdt)
-            scores = jax.lax.dot_general(
-                qg, kh.astype(cdt), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, S]
-            new_score = jax.lax.dot_general(
-                qg, nk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, 1]
-            scores = jnp.where(at_row, new_score, scores)
-            if quant:
-                scores = scores * sck
-            if att_cap:
-                scores = att_cap * jnp.tanh(scores / att_cap)
-            scores = jnp.where(ok, scores, NEG_INF)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = e / e.sum(axis=-1, keepdims=True)
-            if quant:
-                probs = probs * scv
-            p_row = jnp.sum(jnp.where(at_row, probs, 0.0), axis=-1,
-                            keepdims=True)  # [1, 1]
-            probs_z = jnp.where(at_row, 0.0, probs)
-            oh = jax.lax.dot_general(
-                probs_z.astype(cdt), vh.astype(cdt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, D]
-            oh = oh + (p_row.astype(cdt).astype(jnp.float32)
-                       * nv.astype(jnp.float32))
-            o_ref[:, qoff:qoff + d] = oh.astype(o_ref.dtype)
+            o_ref[:, qoff:qoff + d] = oh[g:g + 1, :]
 
 
 def pick_s_block(s_alloc: int, sublane: int, row_bytes: int,

@@ -25,7 +25,9 @@ import json, sys
 from bench import measure_decode
 from gemma_tpu.models.configs import config_gemma2_2b
 fill = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
-r = measure_decode(config_gemma2_2b(), "i8", "i8", 16, 1024, 64, fill=fill)
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+r = measure_decode(config_gemma2_2b(), "i8", "i8", 16, 1024, steps,
+                   fill=fill)
 print("RESULT " + json.dumps(r))
 """
 
@@ -65,17 +67,22 @@ def main() -> None:
         # fused write+attend+RoPE kernel; the delta is the XLA glue the
         # packed kernel removes (q/kv slice+stack relayouts + the
         # att-out reshape/cast — ~2 launch-bound fusions per layer).
-        for fill in (0.5, 1.0):
+        # fill=0.5 runs 256 steps for a lower-noise read (the tunnel's
+        # dispatch-latency variance is ~±3 ms per loop — ±1% at 64 steps,
+        # under the expected ~2% glue delta); fill=1.0 must keep steps=64
+        # so start_pos stays pinned at ring-full (measure_decode clamps
+        # start_pos to seq - steps - 1).
+        for fill, steps in ((0.5, 256), (1.0, 64)):
             packed = run_arm(DECODE_ARM, {"GEMMA_PACKED_DECODE": "1"},
-                             (fill,))
-            print(f"packed decode   fill={fill}: {packed}")
+                             (fill, steps))
+            print(f"packed decode   fill={fill} steps={steps}: {packed}")
             unpacked = run_arm(DECODE_ARM, {"GEMMA_PACKED_DECODE": "0"},
-                               (fill,))
-            print(f"unpacked decode fill={fill}: {unpacked}")
+                               (fill, steps))
+            print(f"unpacked decode fill={fill} steps={steps}: {unpacked}")
             print(f"packed win fill={fill}: "
                   f"{packed['tok_s'] / unpacked['tok_s']:.3f}x tok/s "
                   f"({unpacked['dt_ms'] - packed['dt_ms']:+.1f} ms "
-                  f"per 64-step loop)")
+                  f"per {steps}-step loop)")
     if what in ("prefill", "all"):
         for batch in (4, 1):
             for chunk in (256, 512, 1024):
